@@ -27,8 +27,17 @@ Scale notes (designed for ~10^12 docs / 1000 executors, tested on local[32]):
 from __future__ import annotations
 
 from dataclasses import dataclass
+from typing import Iterator
 
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 from ..html.udfs import html_to_text_udf
 from ..text.tokenizer import tokenize_udf
@@ -78,13 +87,36 @@ def build_docs(pages: DataFrame) -> DataFrame:
     )
 
 
-def build_tf(docs: DataFrame) -> DataFrame:
-    """docs → tf(doc_id, term, tf). One shuffle; partial agg map-side."""
-    return (
-        docs.select("doc_id", F.explode("tokens").alias("term"))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).cast("int").alias("tf"))
+_TF_PAIRS_TYPE = ArrayType(
+    StructType(
+        [StructField("term", StringType()), StructField("tf", IntegerType())]
     )
+)
+
+
+@F.pandas_udf(_TF_PAIRS_TYPE)
+def tf_pairs_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    """tokens array → [(term, tf)] — per-doc term counting inside the Arrow
+    batch. Grouping by term within a doc needs no shuffle: the doc's tokens
+    are already co-located, so the classic explode→groupBy(doc_id, term)
+    exchange (the single biggest shuffle of the build) disappears entirely."""
+    from collections import Counter
+
+    def one(tokens):
+        if tokens is None:
+            return None
+        return list(Counter(tokens).items())
+
+    for s in batches:
+        yield s.map(one)
+
+
+def build_tf(docs: DataFrame) -> DataFrame:
+    """docs → tf(doc_id, term, tf). Map-side only (no shuffle): per-doc
+    counting happens inside the tokenizer's Arrow batch."""
+    return docs.select(
+        "doc_id", F.explode(tf_pairs_udf(F.col("tokens"))).alias("p")
+    ).select("doc_id", F.col("p.term").alias("term"), F.col("p.tf").alias("tf"))
 
 
 def build_doclen(docs: DataFrame) -> DataFrame:

@@ -77,15 +77,21 @@ def varint_decode(buf: bytes, count: int | None = None) -> np.ndarray:
 def encode_blocks(
     doc_u: np.ndarray,
     tfs: np.ndarray,
-    scores: np.ndarray,
+    dls: np.ndarray,
     block_size: int = BLOCK_SIZE,
-) -> List[Tuple[int, int, int, int, bytes, bytes, int, float]]:
+) -> List[Tuple[int, int, int, int, bytes, bytes, int, int]]:
     """Encode one term-shard posting list (doc_u ascending) into blocks.
 
     Returns rows: (block_id, n, min_doc_u, max_doc_u, docs_enc, tfs_enc,
-    max_tf, max_score). min/max_doc_u are int64 (bit pattern of the uint64
+    max_tf, min_dl). min/max_doc_u are int64 (bit pattern of the uint64
     key) for cheap range predicates in SQL; docs_enc holds deltas with the
     first value relative to min_doc_u (so delta0 = 0, elided as varint 0x00).
+
+    Block-max metadata is (max_tf, min_dl) — the BM25 contribution is
+    monotone increasing in tf and decreasing in dl, so
+    score(max_tf, min_dl) bounds every member. Unlike a precomputed max
+    score, these are independent of global corpus stats (N, avgdl, df), so
+    blocks stay valid under incremental updates that shift the stats.
     """
     n = len(doc_u)
     doc_u = np.ascontiguousarray(doc_u, dtype=np.uint64)
@@ -106,7 +112,7 @@ def encode_blocks(
                 varint_encode(deltas),
                 varint_encode(tfs[b0:b1].astype(np.uint64)),
                 int(tfs[b0:b1].max()),
-                float(scores[b0:b1].max()),
+                int(dls[b0:b1].min()),
             )
         )
     return rows

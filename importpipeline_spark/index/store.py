@@ -40,63 +40,69 @@ from .build import (
     K1,
     B,
     LogicalIndex,
-    bm25_contrib_expr,
     build_logical_index,
-    idf_expr,
     shard_of,
 )
 from .codec import BLOCK_SIZE, encode_blocks, to_u64
 
 POSTINGS_SCHEMA = (
     "term string, shard int, block_id int, n int, min_doc long, max_doc long, "
-    "docs_enc binary, tfs_enc binary, max_tf int, max_score double"
+    "docs_enc binary, tfs_enc binary, max_tf int, min_dl int"
 )
 
+_POSTING_COLS = [
+    "term", "shard", "block_id", "n", "min_doc", "max_doc",
+    "docs_enc", "tfs_enc", "max_tf", "min_dl",
+]
 
-def _encode_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
-    """Grouped-map kernel: one (term, shard) posting list → block rows."""
-    term, shard = key
-    u = to_u64(pdf["doc_id"].to_numpy(dtype=np.int64))
-    order = np.argsort(u, kind="stable")
-    u = u[order]
-    tfs = pdf["tf"].to_numpy(dtype=np.int64)[order]
-    scores = pdf["contrib"].to_numpy(dtype=np.float64)[order]
-    rows = encode_blocks(u, tfs, scores, BLOCK_SIZE)
-    out = pd.DataFrame(
-        rows,
-        columns=[
-            "block_id", "n", "min_doc", "max_doc",
-            "docs_enc", "tfs_enc", "max_tf", "max_score",
-        ],
-    )
-    out.insert(0, "shard", np.int32(shard))
-    out.insert(0, "term", term)
-    return out
+
+def _encode_shard(tf_pdf: pd.DataFrame, dl_pdf: pd.DataFrame) -> pd.DataFrame:
+    """Cogrouped kernel: one doc-range shard's entire sub-index in one pass.
+
+    One task per shard (not per term!): the tf rows are lexsorted by
+    (term, doc_u) and encoded per-term run. A per-(term,shard) grouped-map
+    would create |vocab|×|shards| tiny pandas groups — measured 3 orders of
+    magnitude slower at small scale and pure overhead at any scale. Shard
+    count is the parallelism/memory knob: each task holds one doc-range's
+    postings (bounded by shard width), which is what holds at 1000× data.
+    """
+    if tf_pdf.empty:
+        return pd.DataFrame(columns=_POSTING_COLS)
+    shard = int(tf_pdf["shard"].iloc[0])
+    u = to_u64(tf_pdf["doc_id"].to_numpy(dtype=np.int64))
+    tfs = tf_pdf["tf"].to_numpy(dtype=np.int64)
+    terms = tf_pdf["term"].to_numpy(dtype=object)
+    # doclen lookup for the shard
+    dlu = to_u64(dl_pdf["doc_id"].to_numpy(dtype=np.int64))
+    dorder = np.argsort(dlu)
+    dlu = dlu[dorder]
+    dlv = dl_pdf["doc_len"].to_numpy(dtype=np.int64)[dorder]
+    dls = dlv[np.searchsorted(dlu, u)]
+    # sort by (term, doc_u); encode per-term runs
+    order = np.lexsort((u, terms))
+    u, tfs, dls, terms = u[order], tfs[order], dls[order], terms[order]
+    starts = np.nonzero(np.concatenate(([True], terms[1:] != terms[:-1])))[0]
+    ends = np.concatenate((starts[1:], [len(terms)]))
+    out = []
+    for s, e in zip(starts, ends):
+        for row in encode_blocks(u[s:e], tfs[s:e], dls[s:e], BLOCK_SIZE):
+            out.append((terms[s], shard) + row)
+    return pd.DataFrame(out, columns=_POSTING_COLS)
 
 
 def build_postings_df(index: LogicalIndex, n_shards: int) -> DataFrame:
-    """tf ⋈ doclen ⋈ dictionary → per-(term,shard) encoded blocks.
+    """tf ⋈(cogroup by shard) doclen → encoded blocks.
 
-    The BM25 contribution for block-max metadata is computed JVM-side
-    (bm25_contrib_expr) before the grouped-map encode.
+    Exactly one wide exchange: both sides repartition by shard (doc-range).
+    No join row-expansion, no per-term groups, no dictionary needed at build
+    time (block bounds are stats-independent: max_tf + min_dl).
     """
-    n = index.stats["n_docs"]
-    avgdl = index.stats["avgdl"] or 1.0
-    dict_df = index.term_df.withColumn(
-        "idf", idf_expr(F.col("df").cast("double"), n)
-    ).select("term", "idf")
-    scored = (
-        index.tf.join(index.doclen, "doc_id", "inner")
-        .join(dict_df, "term", "inner")
-        .withColumn(
-            "contrib",
-            bm25_contrib_expr(F.col("tf"), F.col("doc_len"), F.col("idf"), avgdl),
-        )
-        .withColumn("shard", shard_of(F.col("doc_id"), n_shards))
-        .select("term", "shard", "doc_id", "tf", "contrib")
-    )
-    return scored.groupBy("term", "shard").applyInPandas(
-        _encode_group, POSTINGS_SCHEMA
+    tf_s = index.tf.withColumn("shard", shard_of(F.col("doc_id"), n_shards))
+    dl_s = index.doclen.withColumn("shard", shard_of(F.col("doc_id"), n_shards))
+    return (
+        tf_s.groupBy("shard")
+        .cogroup(dl_s.groupBy("shard"))
+        .applyInPandas(lambda l, r: _encode_shard(l, r), POSTINGS_SCHEMA)
     )
 
 

@@ -67,11 +67,22 @@ def make_wand_kernel(
         nb = len(post_pdf)
         min_u = post_pdf["min_doc"].to_numpy(dtype=np.int64).view(np.uint64)
         max_u = post_pdf["max_doc"].to_numpy(dtype=np.int64).view(np.uint64)
-        ms = post_pdf["max_score"].to_numpy(dtype=np.float64) * _UB_MARGIN
         ns = post_pdf["n"].to_numpy(dtype=np.int64)
         tcodes = post_pdf["term"].map(tcode_map).to_numpy(dtype=np.int64)
         docs_enc = post_pdf["docs_enc"].to_numpy(dtype=object)
         tfs_enc = post_pdf["tfs_enc"].to_numpy(dtype=object)
+        # per-block upper bound from stats-independent metadata: the BM25
+        # contribution is ↑ in tf and ↓ in dl, so score(max_tf, min_dl)
+        # bounds every member under the *current* global stats — blocks stay
+        # valid when incremental updates shift N/avgdl/df
+        max_tf = post_pdf["max_tf"].to_numpy(dtype=np.float64)
+        min_dl = post_pdf["min_dl"].to_numpy(dtype=np.float64)
+        ms = (
+            idf_arr[tcodes]
+            * max_tf
+            * (k1 + 1.0)
+            / (max_tf + k1 * (1.0 - b + b * min_dl / avgdl))
+        ) * _UB_MARGIN
 
         # elementary intervals over the shard's doc space
         points = np.unique(np.concatenate([min_u, max_u + np.uint64(1)]))

@@ -51,11 +51,11 @@ def test_block_roundtrip():
     ids = np.unique(rng.integers(-(2**62), 2**62, size=1000, dtype=np.int64))
     u = np.sort(to_u64(ids))
     tfs = rng.integers(1, 50, size=len(u)).astype(np.uint64)
-    scores = rng.random(len(u))
-    rows = encode_blocks(u, tfs, scores)
+    dls = rng.integers(10, 500, size=len(u)).astype(np.int64)
+    rows = encode_blocks(u, tfs, dls)
     assert len(rows) == (len(u) + BLOCK_SIZE - 1) // BLOCK_SIZE
     got_u, got_tf = [], []
-    for (bid, n, mn, mx, de, te, mtf, msc) in rows:
+    for (bid, n, mn, mx, de, te, mtf, mdl) in rows:
         du, dt = decode_block(de, te, mn, n)
         assert int(du[0].astype(np.int64).view(np.int64)) == np.int64(mn).view(np.int64)
         got_u.append(du)
@@ -67,10 +67,13 @@ def test_block_roundtrip():
     assert np.array_equal(np.concatenate(got_tf), tfs)
 
 
-def test_block_max_score():
+def test_block_metadata_bounds():
     u = np.arange(1, 300, dtype=np.uint64)
-    tfs = np.ones(len(u), dtype=np.uint64)
-    scores = np.linspace(0.1, 5.0, len(u))
-    rows = encode_blocks(u, tfs, scores)
-    assert rows[0][7] == pytest.approx(scores[BLOCK_SIZE - 1])
-    assert rows[-1][7] == pytest.approx(scores[-1])
+    tfs = np.arange(1, 300, dtype=np.uint64)
+    dls = np.arange(1000, 701, -1, dtype=np.int64)
+    rows = encode_blocks(u, tfs, dls)
+    # max_tf = last tf of block (ascending), min_dl = last dl (descending)
+    assert rows[0][6] == BLOCK_SIZE
+    assert rows[0][7] == int(dls[BLOCK_SIZE - 1])
+    assert rows[-1][6] == int(tfs[-1])
+    assert rows[-1][7] == int(dls[-1])

@@ -1,0 +1,159 @@
+"""Dedup + similarity suites: exactness of the SQL-expressible paths and
+recall of the LSH paths vs exact baselines."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from importpipeline_spark.operators.dedup import (
+    dedup_exact,
+    exact_dup_groups,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from importpipeline_spark.operators.similarity import (
+    cosine_topk_bruteforce,
+    cosine_topk_lsh,
+    embedding_neardup_pairs,
+)
+from importpipeline_spark.text.analysis import lang_id_scores, quality_features
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(300)]
+    rows = []
+    for i in range(80):
+        words = [vocab[j] for j in rng.integers(0, 300, size=30)]
+        rows.append((i, " ".join(words)))
+    # near dups: ids 1000+i share all but one token with doc i (i<10)
+    for i in range(10):
+        words = rows[i][1].split()
+        words[5] = "CHANGED"
+        rows.append((1000 + i, " ".join(words)))
+    # exact dups of docs 20..24
+    for i in range(20, 25):
+        rows.append((2000 + i, rows[i][1]))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _exact_jaccard_pairs(df, threshold):
+    got = ngram_jaccard_pairs(df, "text", "doc_id", n=3, threshold=threshold)
+    return {(r.id_a, r.id_b): r.jaccard for r in got.collect()}
+
+
+def test_exact_dedup(corpus):
+    groups = exact_dup_groups(corpus, "text", "doc_id").collect()
+    assert len(groups) == 5
+    assert all(g.n == 2 for g in groups)
+    keep = dedup_exact(corpus, "text", "doc_id")
+    assert keep.count() == corpus.count() - 5
+    # deterministic winner: smallest doc_id survives
+    kept_ids = {r.doc_id for r in keep.select("doc_id").collect()}
+    for i in range(20, 25):
+        assert i in kept_ids and (2000 + i) not in kept_ids
+
+
+def test_ngram_jaccard_finds_neardups(corpus):
+    pairs = _exact_jaccard_pairs(corpus, 0.5)
+    for i in range(10):
+        assert (i, 1000 + i) in pairs, f"missing near-dup pair {i}"
+        assert 0.5 <= pairs[(i, 1000 + i)] < 1.0
+    for i in range(20, 25):
+        assert pairs[(i, 2000 + i)] == 1.0
+
+
+def test_minhash_lsh_recall(corpus):
+    exact = set(_exact_jaccard_pairs(corpus, 0.5))
+    got = minhash_lsh_pairs(
+        corpus, "text", "doc_id", n=3, num_hashes=64, bands=16, threshold=0.5
+    )
+    found = {(r.id_a, r.id_b) for r in got.collect()}
+    # verification step makes precision exact; recall should be high
+    assert found <= exact
+    recall = len(found & exact) / len(exact)
+    assert recall >= 0.9, f"recall {recall}"
+
+
+def test_simhash_neardups(corpus):
+    got = simhash_pairs(corpus, "text", "doc_id", max_hamming=12)
+    found = {(r.id_a, r.id_b) for r in got.collect()}
+    exact_dups = {(i, 2000 + i) for i in range(20, 25)}
+    # exact dups have hamming 0 → must all be found
+    assert exact_dups <= found
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((200, 16)).astype(np.float32)
+    rows = [(i, [float(x) for x in base[i]]) for i in range(200)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>"), base
+
+
+def test_cosine_bruteforce_matches_numpy(vectors):
+    df, base = vectors
+    q = base[0].astype(np.float64)
+    sims = (base.astype(np.float64) @ q) / (
+        np.linalg.norm(base.astype(np.float64), axis=1) * np.linalg.norm(q)
+    )
+    order = sorted(range(1, 200), key=lambda i: (-sims[i], i))[:10]
+    got = cosine_topk_bruteforce(
+        df.where(F.col("vec_id") != 0), [float(x) for x in base[0]], k=10
+    ).collect()
+    assert [r.vec_id for r in got] == order
+    for r in got:
+        assert r.cosine == pytest.approx(sims[r.vec_id], rel=1e-6)
+
+
+def test_lsh_ann_recall(vectors, spark):
+    df, base = vectors
+    got_exact = cosine_topk_bruteforce(
+        df.where(F.col("vec_id") != 0), [float(x) for x in base[0]], k=10
+    ).collect()
+    got_ann = cosine_topk_lsh(
+        spark, df.where(F.col("vec_id") != 0), [float(x) for x in base[0]],
+        k=10, n_planes=6, n_tables=8,
+    ).collect()
+    exact_ids = [r.vec_id for r in got_exact]
+    ann_ids = {r.vec_id for r in got_ann}
+    recall = len(ann_ids & set(exact_ids)) / len(exact_ids)
+    assert recall >= 0.5, f"ANN recall {recall}"
+    # ANN scores are exact cosines (verification is exact on candidates)
+    exact_map = {r.vec_id: r.cosine for r in got_exact}
+    for r in got_ann:
+        if r.vec_id in exact_map:
+            assert r.cosine == pytest.approx(exact_map[r.vec_id], rel=1e-9)
+
+
+def test_embedding_neardup(spark):
+    rng = np.random.default_rng(9)
+    base = rng.standard_normal((50, 16)).astype(np.float32)
+    rows = [(i, [float(x) for x in base[i]]) for i in range(50)]
+    # near-dups: 100+i ≈ i with tiny noise
+    for i in range(5):
+        v = base[i] + rng.standard_normal(16).astype(np.float32) * 0.01
+        rows.append((100 + i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = embedding_neardup_pairs(df, threshold=0.98, n_planes=8, n_tables=6)
+    found = {(r.id_a, r.id_b) for r in got.collect()}
+    hits = sum((i, 100 + i) in found for i in range(5))
+    assert hits >= 4, f"found {hits}/5 near-dup pairs"
+
+
+def test_lang_id_on_documents(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    pred = lang_id_scores(docs, "text")
+    assert "lang_pred" in pred.columns
+    assert pred.where(F.col("lang_pred").isNull()).count() == 0
+
+
+def test_quality_features_ranges(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet").limit(100)
+    qf = quality_features(docs, "text").collect()
+    for r in qf:
+        assert 0.0 <= r.quality_score <= 1.0
+        assert r.n_tokens > 0
+        assert 0.0 <= r.punct_ratio <= 1.0

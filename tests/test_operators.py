@@ -1,0 +1,234 @@
+"""Operator units: undup/agg vs pandas oracle (FIXTURES.md §5), typed sort
+semantics (JComparer), conditions, categorizer, converters."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from importpipeline_spark.functions.categorizer import (
+    Category,
+    apply_categories,
+    sel_range,
+    sel_regex,
+)
+from importpipeline_spark.functions.conditions import condition, parse_condition
+from importpipeline_spark.functions.converters import (
+    arr_count,
+    arr_first,
+    arr_flatten,
+    arr_last,
+    datepart,
+    null_if_empty,
+    replace_list,
+    split_semicolon,
+    to_date_multi,
+    to_double,
+    trim_white,
+)
+from importpipeline_spark.operators.postprocessors import (
+    SortKey,
+    UndupAction,
+    map_reduce,
+    map_reduce_passthrough_split,
+    repeat_processor,
+    sort_processor,
+    top_processor,
+    unique_processor,
+)
+
+
+@pytest.fixture(scope="module")
+def events_df(spark):
+    # k1 int, k2 string (with '' and null), v long, d double — FIXTURES.md §5
+    rows = [
+        (1, "a", 10, 1.5), (1, "a", 20, 2.5), (1, "A", 5, None),
+        (1, "", 7, 0.5), (1, None, 9, 4.0),
+        (2, "b", None, 3.0), (2, "b", 40, 1.0),
+        (None, "c", 8, 2.0), (3, "c", 3, 9.0),
+    ]
+    return spark.createDataFrame(rows, "k1 int, k2 string, v long, d double")
+
+
+def test_undup_actions_vs_pandas(events_df):
+    got = (
+        map_reduce(
+            events_df,
+            undup_keys=[SortKey("k1", "int")],
+            actions=[
+                UndupAction("add", "v", "sum_v"),
+                UndupAction("max", "v", "max_v"),
+                UndupAction("min", "v", "min_v"),
+                UndupAction("mean", "v", "mean_v_int", int_mode=True),
+                UndupAction("count", dest="cnt"),
+            ],
+        )
+        .orderBy(F.col("k1").asc_nulls_first())
+        .toPandas()
+    )
+    pdf = events_df.toPandas()
+    oracle = (
+        pdf.groupby("k1", dropna=False)
+        .agg(sum_v=("v", "sum"), max_v=("v", "max"), min_v=("v", "min"),
+             cnt=("v", "size"))
+        .reset_index()
+        .sort_values("k1", na_position="first")
+    )
+    assert got["sum_v"].fillna(-1).tolist() == oracle["sum_v"].fillna(-1).tolist()
+    assert got["max_v"].fillna(-1).tolist() == oracle["max_v"].fillna(-1).tolist()
+    assert got["min_v"].fillna(-1).tolist() == oracle["min_v"].fillna(-1).tolist()
+    assert got["cnt"].tolist() == oracle["cnt"].tolist()
+    # int mean = floor(sum/count-of-non-null) (UndupActions.cs:171-191)
+    assert got.loc[got.k1 == 1, "mean_v_int"].iloc[0] == (10 + 20 + 5 + 7 + 9) // 5
+    assert got.loc[got.k1 == 2, "mean_v_int"].iloc[0] == 40  # one non-null
+
+
+def test_ci_key_grouping(events_df):
+    # case-insensitive + empty≡null key semantics (JComparer.cs:125-139, 195-268)
+    got = map_reduce(
+        events_df.where(F.col("k1") == 1),
+        undup_keys=[SortKey("k2", "string", case_insensitive=True)],
+        actions=[UndupAction("count", dest="cnt")],
+    ).collect()
+    d = {r.k2: r.cnt for r in got}
+    assert d["a"] == 3  # 'a','a','A' fold together
+    assert d[None] == 2  # '' and null merge
+
+
+def test_sort_processor_semantics(spark):
+    df = spark.createDataFrame(
+        [("b", 1), ("A", 2), ("", 3), (None, 4), ("a", 5)],
+        "s string, i int",
+    )
+    got = [
+        r.i
+        for r in sort_processor(
+            df, [SortKey("s", "string", case_insensitive=True), SortKey("i", "int")]
+        ).collect()
+    ]
+    # nulls (incl. '') first, then a/A (CI, tie → i), then b
+    assert got == [3, 4, 2, 5, 1]
+
+    got_desc = [
+        r.i
+        for r in sort_processor(
+            df,
+            [SortKey("s", "string", case_insensitive=True, descending=True),
+             SortKey("i", "int")],
+        ).collect()
+    ]
+    assert got_desc == [1, 2, 5, 3, 4]
+
+
+def test_top_and_unique_and_repeat(spark):
+    df = spark.createDataFrame(
+        [(g, i, i * 10) for g in ("x", "y") for i in range(5)],
+        "g string, i int, v int",
+    )
+    top2 = top_processor(df, [SortKey("v", "int", descending=True)], 2)
+    assert [r.v for r in top2.collect()] == [40, 40]
+    per_group = top_processor(
+        df, [SortKey("v", "int", descending=True)], 2, per_group=["g"]
+    )
+    assert per_group.count() == 4
+    uniq = unique_processor(
+        df, keys=[SortKey("g")], order_by=[SortKey("v", "int", descending=True)]
+    )
+    assert {(r.g, r.v) for r in uniq.collect()} == {("x", 40), ("y", 40)}
+    rep = repeat_processor(df.limit(1), 3)
+    assert [r.copy_id for r in rep.collect()] == [0, 1, 2]
+
+
+def test_max_null_index_split(spark):
+    df = spark.createDataFrame(
+        [("a", "b"), ("a", None), (None, "b")], "x string, y string"
+    )
+    to_shuffle, passthrough = map_reduce_passthrough_split(
+        df, [SortKey("x"), SortKey("y")], max_null_index=0
+    )
+    # records whose FIRST null key index > 0 pass through... index 0 null → shuffle
+    assert to_shuffle.count() == 1  # (None, 'b'): first-null-index 0 <= 0
+    assert passthrough.count() == 2
+
+
+def test_conditions(spark):
+    df = spark.createDataFrame(
+        [("abc", 5, None), ("ABC", 15, 2.0), (None, 8, 3.0), ("", 20, 4.0)],
+        "s string, i long, d double",
+    )
+    assert df.where(condition("s", "eq", "abc", case_insensitive=True)).count() == 2
+    assert df.where(condition("s", "nullorempty")).count() == 2
+    assert df.where(condition("i", "gt", 9, typed="long")).count() == 2
+    # null compares as -1 → less than any value (Condition.cs:227-231)
+    assert df.where(condition("d", "lt", 2.5, typed="double")).count() == 2
+    assert df.where(condition("s", "substring", "b")).count() == 1  # case-sensitive
+    assert df.where(condition("s", "substring", "b", case_insensitive=True)).count() == 2
+    assert df.where(condition("s", "regex", "^a")).count() == 1
+    assert df.where(parse_condition("s,noteq,abc")).count() == 3
+
+
+def test_categorizer_nested(spark):
+    df = spark.createDataFrame(
+        [(5, "STEEL"), (15, "BRASS POLISHED"), (40, "BRASS"), (25, "TIN")],
+        "size int, typ string",
+    )
+    cats = [
+        Category(sel_range("size", hi=10), "small"),
+        Category(
+            sel_range("size", lo=11),
+            "big",
+            sub=[Category(sel_regex("typ", "BRASS"), "big-brass")],
+        ),
+    ]
+    got = {
+        (r.size): r.cat
+        for r in apply_categories(df, cats, "cat", mode="overwrite").collect()
+    }
+    assert got == {5: "small", 15: "big-brass", 40: "big-brass", 25: "big"}
+    app = {
+        r.size: r.cat
+        for r in apply_categories(df, cats, "cat", mode="append").collect()
+    }
+    assert app[15] == "big;big-brass"
+
+
+def test_converters(spark):
+    df = spark.createDataFrame(
+        [(" x ;y; z ", "1,234.5", "2024-03-05T10:00:00", "  ", "20240305")],
+        "s string, num string, dt string, blank string, ymd string",
+    )
+    r = df.select(
+        split_semicolon(F.col("s")).alias("parts"),
+        to_double(F.col("num")).alias("d"),
+        to_date_multi(F.col("dt")).alias("ts"),
+        trim_white(F.col("blank")).alias("tw"),
+        null_if_empty(F.lit("")).alias("ne"),
+        to_date_multi(F.col("ymd")).alias("ts2"),
+        datepart(to_date_multi(F.col("dt")), "y").alias("yy"),
+    ).first()
+    assert list(r.parts) == ["x", "y", "z"]
+    assert r.d == 1234.5
+    assert r.ts is not None and r.ts.year == 2024 and r.ts.month == 3
+    assert r.tw is None and r.ne is None
+    assert r.ts2 is not None and r.ts2.day == 5
+    assert r.yy == 2024
+
+    arr = df.select(F.split(F.lit("a;b;c"), ";").alias("a")).select(
+        arr_flatten(F.col("a"), "|").alias("fl"),
+        arr_first(F.col("a")).alias("f"),
+        arr_last(F.col("a")).alias("l"),
+        arr_count(F.col("a")).alias("n"),
+    ).first()
+    assert (arr.fl, arr.f, arr.l, arr.n) == ("a|b|c", "a", "c", 3)
+
+    rep = df.select(
+        replace_list(F.lit("hello world"), [("hello", "hi"), ("world", "earth")]).alias("r"),
+        replace_list(F.lit("aAa"), [("a+", "X")], regex=True).alias("rx"),
+    ).first()
+    assert rep.r == "hi earth"
+    assert rep.rx == "XAX"
+
+
+def test_epoch_seconds_parse(spark):
+    df = spark.createDataFrame([("1700000000",)], "e string")
+    r = df.select(to_date_multi(F.col("e")).alias("ts")).first()
+    assert r.ts is not None and r.ts.year == 2023

@@ -1,0 +1,90 @@
+"""Checkpoint/resume + incremental semantics (SURVEY.md §4.3.5, FIXTURES.md §6).
+
+- kill between segments → resume → final index bit-identical to an
+  uninterrupted build
+- ExistState classification (NotExist/ExistOlder/ExistSame/ExistNewer) as a
+  batch anti-join (ESIndexDocType.cs:73-118 semantics)
+"""
+
+import glob
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from importpipeline_spark.index.pagesgen import gen_pages_df
+from importpipeline_spark.index.segments import (
+    build_index_resumable,
+    classify_snapshot,
+    incremental_pages,
+    read_lineage,
+)
+from importpipeline_spark.index.wand import bm25_topk_wand
+
+N = 300
+
+
+def _postings_frame(root):
+    parts = sorted(glob.glob(os.path.join(root, "postings", "shard=*", "*.parquet")))
+    dfs = []
+    for p in parts:
+        df = pd.read_parquet(p)
+        df["shard"] = int(p.split("shard=")[1].split("/")[0])
+        dfs.append(df)
+    out = pd.concat(dfs, ignore_index=True)
+    return out.sort_values(["shard", "term", "block_id"]).reset_index(drop=True)
+
+
+def test_kill_and_resume_bit_identical(spark, tmp_path):
+    pages = gen_pages_df(spark, N, seed=42, partitions=4)
+
+    clean_root = str(tmp_path / "clean")
+    build_index_resumable(spark, pages, clean_root, n_shards=8)
+
+    crash_root = str(tmp_path / "crash")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        build_index_resumable(
+            spark, pages, crash_root, n_shards=8, fail_after_segment=2
+        )
+    # only some segments finished
+    lin = read_lineage(spark, crash_root)
+    assert 0 < lin.count() < 8
+    # resume completes the rest without redoing phase A
+    pidx = build_index_resumable(spark, pages, crash_root, n_shards=8)
+    assert read_lineage(spark, crash_root).count() == 8
+
+    a = _postings_frame(clean_root)
+    b = _postings_frame(crash_root)
+    assert len(a) == len(b)
+    for col in ["shard", "term", "block_id", "n", "min_doc", "max_doc", "max_tf", "min_dl"]:
+        assert a[col].tolist() == b[col].tolist(), col
+    assert [bytes(x) for x in a.docs_enc] == [bytes(x) for x in b.docs_enc]
+    assert [bytes(x) for x in a.tfs_enc] == [bytes(x) for x in b.tfs_enc]
+
+    # resumed index serves queries
+    got = bm25_topk_wand(spark, pidx, "the", k=5).collect()
+    assert len(got) == 5
+
+
+def test_exist_state_classification(spark):
+    old = spark.createDataFrame(
+        [("u1", "2024-01-01 00:00:00"), ("u2", "2024-01-02 00:00:00"),
+         ("u3", "2024-01-03 00:00:00")],
+        "url string, warc_ts string",
+    ).withColumn("warc_ts", F.to_timestamp("warc_ts"))
+    new = spark.createDataFrame(
+        [("u1", "2024-01-05 00:00:00"),  # re-crawl newer → ExistOlder
+         ("u2", "2024-01-02 00:00:00"),  # same → ExistSame
+         ("u3", "2024-01-01 00:00:00"),  # older than indexed → ExistNewer
+         ("u4", "2024-01-06 00:00:00")],  # new → NotExist
+        "url string, warc_ts string",
+    ).withColumn("warc_ts", F.to_timestamp("warc_ts"))
+    got = {
+        r.url: r.exist_state for r in classify_snapshot(new, old).collect()
+    }
+    assert got == {
+        "u1": "ExistOlder", "u2": "ExistSame", "u3": "ExistNewer", "u4": "NotExist"
+    }
+    inc = {r.url for r in incremental_pages(new, old).collect()}
+    assert inc == {"u1", "u4"}
