@@ -57,16 +57,22 @@ def run_build(cores: int, n_docs: int, out_root: str) -> dict:
     from importpipeline_spark.index.store import write_index
     from importpipeline_spark.index.wand import bm25_topk_wand
 
-    spark = get_spark("bench-build", cores=cores, shuffle_partitions=max(32, cores * 2))
+    spark = get_spark("bench-build", cores=cores, shuffle_partitions=max(64, cores * 2))
     pages_path = os.path.join(out_root, "pages")
     if not os.path.exists(pages_path):
         write_pages(spark, pages_path, n_docs)
-    pages = spark.read.parquet(pages_path)
+    # split the input wide enough to feed every core through the CPU-heavy
+    # extraction/tokenization stages (small parquet files pack into few
+    # splits; a cluster would get this from its input split planning)
+    pages = spark.read.parquet(pages_path).repartition(cores * 3)
     idx_root = os.path.join(out_root, f"index_c{cores}")
     shutil.rmtree(idx_root, ignore_errors=True)
     t0 = time.perf_counter()
-    pidx = write_index(spark, pages, idx_root, n_shards=16, write_docs=False)
+    # shard count sized for the larger parallelism level so BOTH runs use the
+    # identical layout (the cluster-size comparison must hold data constant)
+    pidx = write_index(spark, pages, idx_root, n_shards=64, write_docs=False)
     build_sec = time.perf_counter() - t0
+    bm25_topk_wand(spark, pidx, "warmup", k=10).collect()  # JIT/codegen warmup
     t0 = time.perf_counter()
     for q in WAND_QUERIES:
         bm25_topk_wand(spark, pidx, q, k=10).collect()
@@ -146,7 +152,7 @@ def headline() -> None:
     idx_root = os.path.join(out_root, "index")
     shutil.rmtree(idx_root, ignore_errors=True)
     t0 = time.perf_counter()
-    pidx = write_index(spark, pages, idx_root, n_shards=16, write_docs=False)
+    pidx = write_index(spark, pages, idx_root, n_shards=64, write_docs=False)
     build_sec = time.perf_counter() - t0
     times["index_build"] = round(build_sec, 3)
     t0 = time.perf_counter()

@@ -39,7 +39,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from ..html.udfs import html_to_text_udf
+from ..html.udfs import html_to_text_safe_udf, html_to_text_udf
 from ..text.tokenizer import tokenize_udf
 
 K1 = 1.2
@@ -109,6 +109,35 @@ def tf_pairs_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
 
     for s in batches:
         yield s.map(one)
+
+
+def build_docs_safe(pages: DataFrame):
+    """Like build_docs but with per-record quarantine: returns (docs, errors).
+
+    errors(url, stage, error, ts) mirrors the reference's error records
+    (Endpoints/ESEndpoint.cs:457-471: err_key/err_date/err_ds/err_text)."""
+    extracted = pages.withColumn("ex", html_to_text_safe_udf(F.col("html")))
+    errors = extracted.where(F.col("ex.error").isNotNull()).select(
+        "url",
+        F.lit("extract").alias("stage"),
+        F.col("ex.error").alias("error"),
+        F.current_timestamp().alias("ts"),
+    )
+    docs = (
+        extracted.where(F.col("ex.error").isNull())
+        .withColumn("text", F.col("ex.text"))
+        .drop("ex")
+        .withColumn("doc_id", F.xxhash64(F.col("url")))
+        .withColumn("tokens", tokenize_udf(F.col("text")))
+        .withColumn(
+            "doc_len",
+            F.when(F.col("tokens").isNull(), F.lit(0)).otherwise(
+                F.size("tokens")
+            ).cast("int"),
+        )
+        .select("doc_id", "url", "warc_ts", "text", "tokens", "doc_len", "lang")
+    )
+    return docs, errors
 
 
 def build_tf(docs: DataFrame) -> DataFrame:

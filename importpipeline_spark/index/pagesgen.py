@@ -239,7 +239,10 @@ PAGES_SCHEMA = (
 def gen_pages_df(spark, n_rows: int, seed: int = 42, partitions: int | None = None):
     """Distributed deterministic generation: spark.range → mapInPandas."""
     if partitions is None:
-        partitions = max(8, n_rows // 20000)
+        # enough splits to feed a wide cluster through the downstream
+        # CPU-heavy extraction stage (files are re-split on read anyway, but
+        # small files don't split)
+        partitions = max(64, n_rows // 20000)
     rdd_df = spark.range(0, n_rows, 1, partitions)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

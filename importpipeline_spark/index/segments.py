@@ -35,7 +35,7 @@ from .build import (
     K1,
     B,
     LogicalIndex,
-    build_docs,
+    build_docs_safe,
     build_tf,
     build_term_df,
     corpus_stats,
@@ -113,8 +113,10 @@ def build_index_resumable(
     phase_a_done = os.path.exists(stats_path) and os.path.exists(docs_path)
 
     if not phase_a_done:
-        docs = build_docs(pages).persist()
+        docs, errors = build_docs_safe(pages)
+        docs = docs.persist()
         docs.drop("tokens").write.mode("overwrite").parquet(docs_path)
+        errors.write.mode("overwrite").parquet(os.path.join(root, "errors"))
         tf = build_tf(docs).persist()
         (
             docs.select("doc_id", "doc_len")

@@ -194,7 +194,14 @@ def bm25_topk_wand(
     postings = spark.read.parquet(pidx.postings_path).where(
         F.col("term").isin(list(idf_map))
     )
-    doclen = spark.read.parquet(pidx.doclen_path)
+    # shard pruning: tail terms touch few shards — read their doc-length
+    # partitions only (partition-pruned parquet scan). The tiny distinct()
+    # job reads postings metadata already filtered by the term predicate.
+    shards = [r.shard for r in postings.select("shard").distinct().collect()]
+    if not shards:
+        return empty
+    postings = postings.where(F.col("shard").isin(shards))
+    doclen = spark.read.parquet(pidx.doclen_path).where(F.col("shard").isin(shards))
     kernel = make_wand_kernel(idf_map, avgdl, k)
     cands = (
         postings.groupBy("shard")

@@ -1,0 +1,84 @@
+"""Structured Streaming ingestion.
+
+The reference has no true streaming (bounded batch iteration over files —
+SURVEY.md §2.12); its incremental import = last-run-date file filtering +
+per-record existence checks. Here the same flow is expressed as a Structured
+Streaming job: a file-source stream of page batches → the identical Arrow
+extraction/tokenization UDFs → checkpointed append sink. The checkpoint gives
+exactly-once file processing — the streaming-native version of the
+RunAdministration last-OK-run bookkeeping
+(/root/reference/ImportPipeline/RunAdministration/RunAdministrations.cs:276-280).
+
+``Trigger.AvailableNow`` turns the same query into a resumable batch job —
+run it on a schedule and it processes exactly the new files since the last
+checkpoint, mirroring the reference's incremental import entry point
+(SURVEY.md §3.2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..html.udfs import html_to_text_udf
+from ..index.pagesgen import PAGES_SCHEMA
+from ..text.tokenizer import tokenize_udf
+
+
+def stream_pages(spark: SparkSession, input_path: str) -> DataFrame:
+    """File-source stream of pages parquet batches (new files only)."""
+    return (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", 16)
+        .parquet(input_path)
+    )
+
+
+def stream_docs(pages_stream: DataFrame) -> DataFrame:
+    """Streaming extraction: the same Arrow UDFs as the batch build."""
+    return (
+        pages_stream.withColumn("text", html_to_text_udf(F.col("html")))
+        .withColumn("doc_id", F.xxhash64(F.col("url")))
+        .withColumn("tokens", tokenize_udf(F.col("text")))
+        .withColumn(
+            "doc_len",
+            F.when(F.col("tokens").isNull(), F.lit(0))
+            .otherwise(F.size("tokens"))
+            .cast("int"),
+        )
+        .select("doc_id", "url", "warc_ts", "text", "doc_len", "lang")
+    )
+
+
+def run_ingest_available_now(
+    spark: SparkSession, input_path: str, output_path: str, checkpoint: str
+) -> None:
+    """Process all files not yet seen by the checkpoint, then stop
+    (exactly-once incremental batch)."""
+    docs = stream_docs(stream_pages(spark, input_path))
+    q = (
+        docs.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def windowed_lang_counts(
+    pages_stream: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked windowed aggregation over crawl time — late pages beyond
+    the watermark are dropped deterministically."""
+    return (
+        pages_stream.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window).alias("w"), "lang")
+        .agg(F.count(F.lit(1)).alias("n_pages"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "lang",
+            "n_pages",
+        )
+    )
