@@ -370,7 +370,50 @@ def q_bm25_topk_docs(spark, sf_dir):
     )
 
 
+def q_htmltotext_roundtrip(spark, sf_dir):
+    """HtmlToTextConverter invariant driven through the Arrow UDF: wrap each
+    document's text in block/inline/unwanted markup; extraction must return
+    the original text exactly (HtmlProcessor.GetText semantics)."""
+    from importpipeline_spark.html.udfs import html_to_text_udf
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    html = F.concat(
+        F.lit("<html><head><title>t</title><style>.x{}</style></head><body>"
+              "<!-- c --><script>var a=1;</script><div><p>"),
+        F.col("text"),
+        F.lit("</p></div><noscript>skip</noscript></body></html>"),
+    )
+    return docs.select(
+        "doc_id", html_to_text_udf(F.encode(html, "utf-8")).alias("extracted")
+    )
+
+
+def q_replace_converter(spark, sf_dir):
+    """ReplaceConverter ordered replace list (ReplaceConverter.cs:88-163)."""
+    from importpipeline_spark.functions.converters import replace_list
+
+    part = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        replace_list(
+            F.col("p_type"),
+            [("BRASS", "Bz"), ("STEEL", "St"), ("POLISHED", "pol.")],
+        ).alias("p_type_replaced"),
+    )
+
+
 # ---- rows-only entries (no SQL oracle; verified in tests/) ----
+
+
+def q_abstract_snippets(spark, sf_dir):
+    """GetAbstractFromText snippets (HtmlProcessor.cs:222-265) — algorithm is
+    golden-tested in tests/; rows-only here (not SQL-expressible tersely)."""
+    from importpipeline_spark.html.udfs import make_abstract_udf
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", make_abstract_udf(100, 20)(F.col("text")).alias("abstract")
+    )
 
 def q_minhash_lsh_dups(spark, sf_dir):
     base = _docs_with_dups(spark, sf_dir)
@@ -432,6 +475,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repeat_regions": q_repeat_regions,
         "sort_multikey": q_sort_multikey,
         "bm25_topk_docs": q_bm25_topk_docs,
+        "htmltotext_roundtrip": q_htmltotext_roundtrip,
+        "replace_converter": q_replace_converter,
+        "abstract_snippets": q_abstract_snippets,
         "minhash_lsh_dups": q_minhash_lsh_dups,
         "simhash_pairs": q_simhash_pairs,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -639,6 +685,15 @@ def oracle_sql() -> dict[str, str]:
                                       value DESC NULLS LAST, event_id ASC) AS pos,
                    event_id, event_type, ROUND(value, 4) AS value
             FROM events WHERE event_id < 200
+        """,
+        "htmltotext_roundtrip": """
+            SELECT doc_id, text AS extracted FROM documents
+        """,
+        "replace_converter": """
+            SELECT p_partkey,
+                   replace(replace(replace(p_type, 'BRASS', 'Bz'),
+                           'STEEL', 'St'), 'POLISHED', 'pol.') AS p_type_replaced
+            FROM part
         """,
         "bm25_topk_docs": f"""
             WITH toks AS (

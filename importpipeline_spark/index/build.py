@@ -148,6 +148,62 @@ def build_tf(docs: DataFrame) -> DataFrame:
     ).select("doc_id", F.col("p.term").alias("term"), F.col("p.tf").alias("tf"))
 
 
+_FUSED_SCHEMA = (
+    "url string, warc_ts timestamp, lang string, text string, doc_len int, "
+    "tf_pairs array<struct<term:string,tf:int>>"
+)
+
+
+def build_docs_and_tf(pages: DataFrame) -> DataFrame:
+    """Fused physical-build pass: extract + tokenize + per-doc term counts in
+    ONE mapInPandas evaluation (one JVM↔Python Arrow round-trip instead of
+    three chained UDFs). doc_id is added JVM-side (xxhash64).
+
+    Output: docs columns + tf_pairs; downstream splits it into the docs table
+    (drop tf_pairs) and the tf relation (explode) without re-running Python.
+    """
+    from collections import Counter
+    from typing import Iterator as _It
+
+    from ..html.htmltext import html_to_text as _h2t
+    from ..text.tokenizer import tokenize_scalar as _tok
+
+    def run(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        for pdf in batches:
+            texts, lens, pairs = [], [], []
+            for v in pdf["html"]:
+                if v is None:
+                    texts.append(None)
+                    lens.append(0)
+                    pairs.append(None)
+                    continue
+                if isinstance(v, (bytes, bytearray)):
+                    v = bytes(v).decode("utf-8", errors="replace")
+                t = _h2t(v)
+                texts.append(t)
+                toks = _tok(t) if t is not None else None
+                if toks is None:
+                    lens.append(0)
+                    pairs.append(None)
+                else:
+                    lens.append(len(toks))
+                    pairs.append(list(Counter(toks).items()))
+            yield pd.DataFrame(
+                {
+                    "url": pdf["url"],
+                    "warc_ts": pdf["warc_ts"],
+                    "lang": pdf["lang"],
+                    "text": texts,
+                    "doc_len": pd.array(lens, dtype="int32"),
+                    "tf_pairs": pairs,
+                }
+            )
+
+    return pages.mapInPandas(run, schema=_FUSED_SCHEMA).withColumn(
+        "doc_id", F.xxhash64(F.col("url"))
+    )
+
+
 def build_doclen(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", "doc_len")
 

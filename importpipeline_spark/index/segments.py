@@ -34,10 +34,8 @@ from ..text.tokenizer import ANALYZER_VERSION
 from .build import (
     K1,
     B,
-    LogicalIndex,
     build_docs_safe,
     build_tf,
-    build_term_df,
     corpus_stats,
     shard_of,
 )
@@ -127,7 +125,6 @@ def build_index_resumable(
             .partitionBy("shard")
             .parquet(os.path.join(root, "doclen"))
         )
-        build_term_df(tf).write.mode("overwrite").parquet(os.path.join(root, "terms"))
         stats = dict(
             corpus_stats(docs),
             analyzer=ANALYZER_VERSION,
@@ -184,21 +181,44 @@ def build_index_resumable(
         path = _seg_path(root, seg)
         shutil.rmtree(path, ignore_errors=True)
         out.write.mode("overwrite").parquet(path)
-        n_postings = spark.read.parquet(path).count()
+        seg_meta = spark.read.parquet(path).agg(
+            F.count(F.lit(1)).alias("blocks"),
+            F.sum("n").alias("postings"),
+            F.count_distinct("term").alias("terms"),
+        ).first()
+        n_docs_seg = seg_dl.count()
         _append_lineage(
             root,
             {
                 "run_id": run_id,
                 "segment_id": seg,
                 "input_snapshot": input_snapshot,
-                "n_postings": n_postings,
+                "n_docs": int(n_docs_seg),
+                "n_postings": int(seg_meta.postings or 0),
                 "status": "ok",
                 "started_ts": started,
                 "finished_ts": datetime.now(timezone.utc).isoformat(),
+                # per-segment metrics (mirrors DatasourceReport counters —
+                # ImportReport.cs:92-209)
+                "metrics": {
+                    "blocks": int(seg_meta.blocks),
+                    "distinct_terms": int(seg_meta.terms),
+                },
             },
         )
         if fail_after_segment is not None and i >= fail_after_segment:
             raise RuntimeError(f"injected failure after segment {seg}")
+
+    # dictionary derived from the completed posting segments (df = Σ block n
+    # per term) — idempotent, so a resumed run just re-derives it
+    (
+        spark.read.option("basePath", os.path.join(root, "postings"))
+        .parquet(os.path.join(root, "postings"))
+        .groupBy("term")
+        .agg(F.sum("n").alias("df"))
+        .write.mode("overwrite")
+        .parquet(os.path.join(root, "terms"))
+    )
 
     return PhysicalIndex(root=root, stats=stats)
 

@@ -36,13 +36,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..text.tokenizer import ANALYZER_VERSION
-from .build import (
-    K1,
-    B,
-    LogicalIndex,
-    build_logical_index,
-    shard_of,
-)
+from .build import K1, B, shard_of
 from .codec import BLOCK_SIZE, encode_blocks, to_u64
 
 POSTINGS_SCHEMA = (
@@ -90,15 +84,15 @@ def _encode_shard(tf_pdf: pd.DataFrame, dl_pdf: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(out, columns=_POSTING_COLS)
 
 
-def build_postings_df(index: LogicalIndex, n_shards: int) -> DataFrame:
+def build_postings_df(tf: DataFrame, doclen: DataFrame, n_shards: int) -> DataFrame:
     """tf ⋈(cogroup by shard) doclen → encoded blocks.
 
     Exactly one wide exchange: both sides repartition by shard (doc-range).
     No join row-expansion, no per-term groups, no dictionary needed at build
     time (block bounds are stats-independent: max_tf + min_dl).
     """
-    tf_s = index.tf.withColumn("shard", shard_of(F.col("doc_id"), n_shards))
-    dl_s = index.doclen.withColumn("shard", shard_of(F.col("doc_id"), n_shards))
+    tf_s = tf.withColumn("shard", shard_of(F.col("doc_id"), n_shards))
+    dl_s = doclen.withColumn("shard", shard_of(F.col("doc_id"), n_shards))
     return (
         tf_s.groupBy("shard")
         .cogroup(dl_s.groupBy("shard"))
@@ -135,42 +129,68 @@ def write_index(
     n_shards: int = 16,
     write_docs: bool = True,
 ) -> PhysicalIndex:
-    """Full build: pages → physical index at ``root``."""
-    index = build_logical_index(pages, cache=True)
-    postings = build_postings_df(index, n_shards)
+    """Full build: pages → physical index at ``root``.
+
+    Uses the fused extract+tokenize+count pass (one Arrow round-trip),
+    persisted once; docs, doclen, tf and stats all derive from it JVM-side.
+    """
+    from .build import build_docs_and_tf
+
+    fused = build_docs_and_tf(pages).persist()
+    tf = fused.select(
+        "doc_id", F.explode("tf_pairs").alias("p")
+    ).select("doc_id", F.col("p.term").alias("term"), F.col("p.tf").alias("tf"))
+    doclen = fused.select("doc_id", "doc_len")
+    postings = build_postings_df(tf, doclen, n_shards).persist()
+    # the cogroup kernel emits whole shards, already sorted by (term, block):
+    # write directly — no second exchange, ≤1 file per shard per task, and
+    # term row-group stats stay monotone for scan pruning
     (
-        postings.repartition(n_shards, "shard")
-        .sortWithinPartitions("term", "block_id")
-        .write.mode("overwrite")
+        postings.write.mode("overwrite")
         .partitionBy("shard")
         .parquet(os.path.join(root, "postings"))
     )
     (
-        index.doclen.withColumn("shard", shard_of(F.col("doc_id"), n_shards))
+        doclen.withColumn("shard", shard_of(F.col("doc_id"), n_shards))
         .repartition(n_shards, "shard")
         .sortWithinPartitions("doc_id")
         .write.mode("overwrite")
         .partitionBy("shard")
         .parquet(os.path.join(root, "doclen"))
     )
-    index.term_df.write.mode("overwrite").parquet(os.path.join(root, "terms"))
+    # dictionary derived from posting metadata (df = Σ block n per term) —
+    # aggregates ~|terms|·|shards| block rows (from the cached blocks)
+    # instead of re-shuffling the full tf relation
+    (
+        postings.groupBy("term")
+        .agg(F.sum("n").alias("df"))
+        .write.mode("overwrite")
+        .parquet(os.path.join(root, "terms"))
+    )
+    postings.unpersist()
     if write_docs:
-        index.docs.drop("tokens").write.mode("overwrite").parquet(
+        fused.drop("tf_pairs").write.mode("overwrite").parquet(
             os.path.join(root, "docs")
         )
-    stats = dict(
-        index.stats,
-        analyzer=ANALYZER_VERSION,
-        k1=K1,
-        b=B,
-        n_shards=n_shards,
-        block_size=BLOCK_SIZE,
-    )
+    row = fused.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("doc_len").alias("total_tokens")
+    ).first()
+    n_docs = int(row.n_docs)
+    total = int(row.total_tokens or 0)
+    stats = {
+        "n_docs": n_docs,
+        "avgdl": (total / n_docs) if n_docs else 0.0,
+        "total_tokens": total,
+        "analyzer": ANALYZER_VERSION,
+        "k1": K1,
+        "b": B,
+        "n_shards": n_shards,
+        "block_size": BLOCK_SIZE,
+    }
     os.makedirs(root, exist_ok=True)
     with open(os.path.join(root, "stats.json"), "w") as f:
         json.dump(stats, f)
-    index.docs.unpersist()
-    index.tf.unpersist()
+    fused.unpersist()
     return PhysicalIndex(root=root, stats=stats)
 
 

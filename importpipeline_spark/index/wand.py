@@ -10,26 +10,33 @@ Endpoints/ESIndexDocType.cs:193-202; analysis chain index.config.js:66-76):
   top-k merge: orderBy(score DESC, doc_id ASC).limit(k) over ≤ k·shards rows.
 
 Pruning strategy — *interval-sweep block-max* (exact, fully vectorized):
-block boundaries of all query terms cut the shard's doc-id space into
+block boundaries of the query terms cut the shard's doc-id space into
 elementary intervals; each interval's upper bound is the sum of the covering
-blocks' max scores (the classic block-max WAND bound, Ding & Suel 2011,
-computed here with a difference array instead of per-doc pivoting so the hot
-path stays in numpy). Intervals are processed in descending-bound order,
+blocks' bounds (the classic block-max WAND bound, Ding & Suel 2011, computed
+with a difference array instead of per-doc pivoting so the hot path stays in
+numpy). Block bounds come from stats-independent metadata (max_tf, min_dl):
+BM25 is monotone ↑tf/↓dl, so score(max_tf, min_dl) bounds every member under
+the current global stats. Intervals are processed in descending-bound order,
 scoring candidates exactly and maintaining the running top-k threshold θ;
-processing stops when the next bound < θ. Docs in skipped intervals provably
-can't enter the top-k (bounds get a 1+1e-12 safety margin against float
-summation-order effects). Scores accumulate per doc in ascending term order
-(float64), bit-identical to the exhaustive oracle.
+processing stops when the next bound < θ (bounds carry a 1+1e-12 margin
+against float summation-order effects). Scores accumulate per doc in
+ascending term order, strictly sequentially, in float64 — bit-identical to
+the exhaustive oracle. Ties break (score DESC, doc_id ASC).
+
+The batch path scores a whole query *set* in one index pass: per shard, all
+queries share the block arrays and the decode cache, so a hot term decoded
+for one query is free for the rest.
 """
 
 from __future__ import annotations
 
 import math
-from typing import Dict, List
+from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
 
 from .build import K1, B
 from .codec import from_u64, to_u64, varint_decode
@@ -39,16 +46,137 @@ from .store import PhysicalIndex
 _UB_MARGIN = 1.0 + 1e-12
 
 CAND_SCHEMA = "doc_id long, score double"
+BATCH_CAND_SCHEMA = "query_id int, doc_id long, score double"
 
 
 def _lucene_idf(df: int, n: int) -> float:
     return math.log(1.0 + (n - df + 0.5) / (df + 0.5))
 
 
+class _ShardIndex:
+    """Decoded view of one shard's candidate postings + doclen lookup, with a
+    block decode cache shared across queries."""
+
+    def __init__(self, post_pdf: pd.DataFrame, dl_pdf: pd.DataFrame,
+                 tcode_map: Dict[str, int], idf_arr: np.ndarray,
+                 avgdl: float, k1: float, b: float):
+        dl_u = to_u64(dl_pdf["doc_id"].to_numpy(dtype=np.int64))
+        dl_order = np.argsort(dl_u)
+        self.dl_u = dl_u[dl_order]
+        self.dl_v = dl_pdf["doc_len"].to_numpy(dtype=np.float64)[dl_order]
+        self.min_u = post_pdf["min_doc"].to_numpy(dtype=np.int64).view(np.uint64)
+        self.max_u = post_pdf["max_doc"].to_numpy(dtype=np.int64).view(np.uint64)
+        self.ns = post_pdf["n"].to_numpy(dtype=np.int64)
+        self.tcodes = post_pdf["term"].map(tcode_map).to_numpy(dtype=np.int64)
+        self.docs_enc = post_pdf["docs_enc"].to_numpy(dtype=object)
+        self.tfs_enc = post_pdf["tfs_enc"].to_numpy(dtype=object)
+        max_tf = post_pdf["max_tf"].to_numpy(dtype=np.float64)
+        min_dl = post_pdf["min_dl"].to_numpy(dtype=np.float64)
+        # stats-independent per-block bound: score(max_tf, min_dl)
+        self.ub = (
+            idf_arr[self.tcodes]
+            * max_tf
+            * (k1 + 1.0)
+            / (max_tf + k1 * (1.0 - b + b * min_dl / avgdl))
+        ) * _UB_MARGIN
+        self.idf_arr = idf_arr
+        self.avgdl = avgdl
+        self.k1 = k1
+        self.b = b
+        self._decoded: Dict[int, tuple] = {}
+
+    def decode(self, bi: int) -> Tuple[np.ndarray, np.ndarray]:
+        got = self._decoded.get(bi)
+        if got is not None:
+            return got
+        deltas = varint_decode(self.docs_enc[bi], int(self.ns[bi]))
+        du = self.min_u[bi] + np.cumsum(deltas, dtype=np.uint64)
+        tf = varint_decode(self.tfs_enc[bi], int(self.ns[bi])).astype(np.float64)
+        dl = self.dl_v[np.searchsorted(self.dl_u, du)]
+        idf = self.idf_arr[self.tcodes[bi]]
+        contrib = (
+            idf * tf * (self.k1 + 1.0)
+            / (tf + self.k1 * (1.0 - self.b + self.b * dl / self.avgdl))
+        )
+        self._decoded[bi] = (du, contrib)
+        return self._decoded[bi]
+
+
+def _sweep(si: _ShardIndex, sel: np.ndarray, k: int):
+    """Interval-sweep top-k over a subset of blocks (one query's terms).
+    Returns (doc_u uint64[], score float64[]), ≤ k entries, ranked."""
+    if len(sel) == 0:
+        return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.float64)
+    min_u, max_u, ms = si.min_u[sel], si.max_u[sel], si.ub[sel]
+    tc = si.tcodes[sel]
+    points = np.unique(np.concatenate([min_u, max_u + np.uint64(1)]))
+    i0 = np.searchsorted(points, min_u, side="left")
+    i1 = np.searchsorted(points, max_u + np.uint64(1), side="left")
+    n_iv = len(points) - 1
+    diff = np.zeros(n_iv + 1, dtype=np.float64)
+    np.add.at(diff, i0, ms)
+    np.add.at(diff, i1, -ms)
+    ub = np.cumsum(diff)[:n_iv]
+
+    iv_blocks: List[List[int]] = [[] for _ in range(n_iv)]
+    for si_idx in range(len(sel)):
+        for j in range(i0[si_idx], i1[si_idx]):
+            iv_blocks[j].append(si_idx)
+
+    order_iv = np.argsort(-ub, kind="stable")
+    top_docs = np.empty(0, dtype=np.uint64)
+    top_scores = np.empty(0, dtype=np.float64)
+    theta = -np.inf
+    for j in order_iv:
+        bound = ub[j]
+        if bound <= 0.0:
+            break
+        if len(top_scores) == k and bound < theta:
+            break
+        lo, hi = points[j], points[j + 1]
+        # ascending term order → canonical float accumulation per doc
+        blocks = sorted(iv_blocks[j], key=lambda x: tc[x])
+        d_parts, c_parts = [], []
+        for x in blocks:
+            du, contrib = si.decode(int(sel[x]))
+            s0 = np.searchsorted(du, lo, side="left")
+            s1 = np.searchsorted(du, hi, side="left")
+            if s0 == s1:
+                continue
+            d_parts.append(du[s0:s1])
+            c_parts.append(contrib[s0:s1])
+        if not d_parts:
+            continue
+        docs = np.concatenate(d_parts)
+        contribs = np.concatenate(c_parts)
+        srt = np.argsort(docs, kind="stable")  # stable: keeps term order per doc
+        docs = docs[srt]
+        contribs = contribs[srt]
+        starts = np.nonzero(np.concatenate(([True], docs[1:] != docs[:-1])))[0]
+        seg_docs = docs[starts]
+        # strictly sequential left-to-right per-segment summation (ascending
+        # term order) — np.add.reduceat would use pairwise reduction and
+        # drift a ulp from the oracle's accumulation order
+        lengths = np.diff(np.concatenate((starts, [len(docs)])))
+        seg_scores = np.zeros(len(starts), dtype=np.float64)
+        for p in range(int(lengths.max())):
+            m = lengths > p
+            seg_scores[m] += contribs[starts[m] + p]
+        # merge into running top-k (tie-break: score DESC, doc ASC)
+        all_docs = np.concatenate([top_docs, seg_docs])
+        all_scores = np.concatenate([top_scores, seg_scores])
+        ord2 = np.lexsort((all_docs, -all_scores))[:k]
+        top_docs = all_docs[ord2]
+        top_scores = all_scores[ord2]
+        if len(top_scores) == k:
+            theta = top_scores[-1]
+    return top_docs, top_scores
+
+
 def make_wand_kernel(
     idf_map: Dict[str, float], avgdl: float, k: int, k1: float = K1, b: float = B
 ):
-    """Builds the per-shard cogrouped kernel: (postings, doclen) → ≤k rows."""
+    """Per-shard cogrouped kernel for one query: (postings, doclen) → ≤k rows."""
     terms_sorted = sorted(idf_map)
     tcode_map = {t: i for i, t in enumerate(terms_sorted)}
     idf_arr = np.array([idf_map[t] for t in terms_sorted], dtype=np.float64)
@@ -58,115 +186,73 @@ def make_wand_kernel(
             return pd.DataFrame({"doc_id": [], "score": []}).astype(
                 {"doc_id": "int64", "score": "float64"}
             )
-        # doclen lookup arrays (sorted by doc key)
-        dl_u = to_u64(dl_pdf["doc_id"].to_numpy(dtype=np.int64))
-        dl_order = np.argsort(dl_u)
-        dl_u = dl_u[dl_order]
-        dl_v = dl_pdf["doc_len"].to_numpy(dtype=np.float64)[dl_order]
+        si = _ShardIndex(post_pdf, dl_pdf, tcode_map, idf_arr, avgdl, k1, b)
+        docs, scores = _sweep(si, np.arange(len(post_pdf)), k)
+        return pd.DataFrame({"doc_id": from_u64(docs), "score": scores})
 
-        nb = len(post_pdf)
-        min_u = post_pdf["min_doc"].to_numpy(dtype=np.int64).view(np.uint64)
-        max_u = post_pdf["max_doc"].to_numpy(dtype=np.int64).view(np.uint64)
-        ns = post_pdf["n"].to_numpy(dtype=np.int64)
-        tcodes = post_pdf["term"].map(tcode_map).to_numpy(dtype=np.int64)
-        docs_enc = post_pdf["docs_enc"].to_numpy(dtype=object)
-        tfs_enc = post_pdf["tfs_enc"].to_numpy(dtype=object)
-        # per-block upper bound from stats-independent metadata: the BM25
-        # contribution is ↑ in tf and ↓ in dl, so score(max_tf, min_dl)
-        # bounds every member under the *current* global stats — blocks stay
-        # valid when incremental updates shift N/avgdl/df
-        max_tf = post_pdf["max_tf"].to_numpy(dtype=np.float64)
-        min_dl = post_pdf["min_dl"].to_numpy(dtype=np.float64)
-        ms = (
-            idf_arr[tcodes]
-            * max_tf
-            * (k1 + 1.0)
-            / (max_tf + k1 * (1.0 - b + b * min_dl / avgdl))
-        ) * _UB_MARGIN
+    return kernel
 
-        # elementary intervals over the shard's doc space
-        points = np.unique(np.concatenate([min_u, max_u + np.uint64(1)]))
-        i0 = np.searchsorted(points, min_u, side="left")
-        i1 = np.searchsorted(points, max_u + np.uint64(1), side="left")
-        n_iv = len(points) - 1
-        diff = np.zeros(n_iv + 1, dtype=np.float64)
-        np.add.at(diff, i0, ms)
-        np.add.at(diff, i1, -ms)
-        ub = np.cumsum(diff)[:n_iv]
 
-        iv_blocks: List[List[int]] = [[] for _ in range(n_iv)]
-        for bi in range(nb):
-            for j in range(i0[bi], i1[bi]):
-                iv_blocks[j].append(bi)
+def make_wand_batch_kernel(
+    query_terms: Dict[int, List[str]],
+    idf_map: Dict[str, float],
+    avgdl: float,
+    k: int,
+    k1: float = K1,
+    b: float = B,
+):
+    """Per-shard kernel scoring a whole query set in one pass; the decode
+    cache is shared, so hot terms are decoded once per shard for all queries."""
+    terms_sorted = sorted(idf_map)
+    tcode_map = {t: i for i, t in enumerate(terms_sorted)}
+    idf_arr = np.array([idf_map[t] for t in terms_sorted], dtype=np.float64)
+    q_tcodes = {
+        qid: {tcode_map[t] for t in ts if t in tcode_map}
+        for qid, ts in query_terms.items()
+    }
 
-        order_iv = np.argsort(-ub, kind="stable")
-        top_docs = np.empty(0, dtype=np.uint64)
-        top_scores = np.empty(0, dtype=np.float64)
-        theta = -np.inf
-        decoded: Dict[int, tuple] = {}
-
-        def decode(bi: int):
-            got = decoded.get(bi)
-            if got is not None:
-                return got
-            deltas = varint_decode(docs_enc[bi], int(ns[bi]))
-            du = min_u[bi] + np.cumsum(deltas, dtype=np.uint64)
-            tf = varint_decode(tfs_enc[bi], int(ns[bi])).astype(np.float64)
-            dl = dl_v[np.searchsorted(dl_u, du)]
-            idf = idf_arr[tcodes[bi]]
-            contrib = idf * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
-            decoded[bi] = (du, contrib)
-            return decoded[bi]
-
-        for j in order_iv:
-            bound = ub[j]
-            if bound <= 0.0:
-                break
-            if len(top_scores) == k and bound < theta:
-                break
-            lo, hi = points[j], points[j + 1]
-            # ascending term order → canonical float accumulation per doc
-            blocks = sorted(iv_blocks[j], key=lambda bi: tcodes[bi])
-            d_parts, c_parts = [], []
-            for bi in blocks:
-                du, contrib = decode(bi)
-                s0 = np.searchsorted(du, lo, side="left")
-                s1 = np.searchsorted(du, hi, side="left")
-                if s0 == s1:
+    def kernel(post_pdf: pd.DataFrame, dl_pdf: pd.DataFrame) -> pd.DataFrame:
+        out_q, out_d, out_s = [], [], []
+        if not post_pdf.empty and not dl_pdf.empty:
+            si = _ShardIndex(post_pdf, dl_pdf, tcode_map, idf_arr, avgdl, k1, b)
+            for qid, tcset in q_tcodes.items():
+                if not tcset:
                     continue
-                d_parts.append(du[s0:s1])
-                c_parts.append(contrib[s0:s1])
-            if not d_parts:
-                continue
-            docs = np.concatenate(d_parts)
-            contribs = np.concatenate(c_parts)
-            srt = np.argsort(docs, kind="stable")  # stable: keeps term order per doc
-            docs = docs[srt]
-            contribs = contribs[srt]
-            starts = np.nonzero(np.concatenate(([True], docs[1:] != docs[:-1])))[0]
-            seg_docs = docs[starts]
-            # strictly sequential left-to-right per-segment summation (ascending
-            # term order) — np.add.reduceat would use pairwise reduction and
-            # drift a ulp from the oracle's accumulation order
-            lengths = np.diff(np.concatenate((starts, [len(docs)])))
-            seg_scores = np.zeros(len(starts), dtype=np.float64)
-            for p in range(int(lengths.max())):
-                m = lengths > p
-                seg_scores[m] += contribs[starts[m] + p]
-            # merge into running top-k (tie-break: score DESC, doc ASC)
-            all_docs = np.concatenate([top_docs, seg_docs])
-            all_scores = np.concatenate([top_scores, seg_scores])
-            ord2 = np.lexsort((all_docs, -all_scores))[:k]
-            top_docs = all_docs[ord2]
-            top_scores = all_scores[ord2]
-            if len(top_scores) == k:
-                theta = top_scores[-1]
-
+                sel = np.nonzero(np.isin(si.tcodes, list(tcset)))[0]
+                docs, scores = _sweep(si, sel, k)
+                out_q.extend([qid] * len(docs))
+                out_d.extend(from_u64(docs).tolist())
+                out_s.extend(scores.tolist())
         return pd.DataFrame(
-            {"doc_id": from_u64(top_docs), "score": top_scores}
+            {"query_id": pd.array(out_q, dtype="int32"),
+             "doc_id": pd.array(out_d, dtype="int64"),
+             "score": pd.array(out_s, dtype="float64")}
         )
 
     return kernel
+
+
+def _lookup_idf(spark, pidx, terms: List[str]) -> Dict[str, float]:
+    n = pidx.stats["n_docs"]
+    rows = (
+        spark.read.parquet(pidx.terms_path)
+        .where(F.col("term").isin(terms))
+        .collect()
+    )
+    return {r.term: _lucene_idf(int(r.df), n) for r in rows}
+
+
+def _pruned_reads(spark, pidx, terms: List[str]):
+    """postings filtered to terms + doclen pruned to the candidate shards."""
+    postings = spark.read.parquet(pidx.postings_path).where(
+        F.col("term").isin(terms)
+    )
+    shards = [r.shard for r in postings.select("shard").distinct().collect()]
+    if not shards:
+        return None, None
+    postings = postings.where(F.col("shard").isin(shards))
+    doclen = spark.read.parquet(pidx.doclen_path).where(F.col("shard").isin(shards))
+    return postings, doclen
 
 
 def bm25_topk_wand(
@@ -177,31 +263,16 @@ def bm25_topk_wand(
 ) -> DataFrame:
     """Top-k via the compressed store. Rank-identical to the exhaustive path."""
     terms = analyze_query(query)
-    n = pidx.stats["n_docs"]
     avgdl = pidx.stats["avgdl"] or 1.0
     empty = spark.createDataFrame([], CAND_SCHEMA)
-    if not terms or n == 0:
+    if not terms or pidx.stats["n_docs"] == 0:
         return empty
-    # dictionary lookup (predicate pushed into the terms parquet scan)
-    dict_rows = (
-        spark.read.parquet(pidx.terms_path)
-        .where(F.col("term").isin(terms))
-        .collect()
-    )
-    idf_map = {r.term: _lucene_idf(int(r.df), n) for r in dict_rows}
+    idf_map = _lookup_idf(spark, pidx, terms)
     if not idf_map:
         return empty
-    postings = spark.read.parquet(pidx.postings_path).where(
-        F.col("term").isin(list(idf_map))
-    )
-    # shard pruning: tail terms touch few shards — read their doc-length
-    # partitions only (partition-pruned parquet scan). The tiny distinct()
-    # job reads postings metadata already filtered by the term predicate.
-    shards = [r.shard for r in postings.select("shard").distinct().collect()]
-    if not shards:
+    postings, doclen = _pruned_reads(spark, pidx, list(idf_map))
+    if postings is None:
         return empty
-    postings = postings.where(F.col("shard").isin(shards))
-    doclen = spark.read.parquet(pidx.doclen_path).where(F.col("shard").isin(shards))
     kernel = make_wand_kernel(idf_map, avgdl, k)
     cands = (
         postings.groupBy("shard")
@@ -209,3 +280,43 @@ def bm25_topk_wand(
         .applyInPandas(lambda l, r: kernel(l, r), CAND_SCHEMA)
     )
     return cands.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
+
+
+def bm25_topk_wand_batch(
+    spark: SparkSession,
+    pidx: PhysicalIndex,
+    queries: Sequence[Tuple[int, str]],
+    k: int = 10,
+) -> DataFrame:
+    """Whole query set in one index pass → (query_id, doc_id, score, rank).
+
+    One cogroup job total: per shard, every query reuses the same block
+    arrays and decode cache. Global per-query top-k = window rank over
+    ≤ k·shards candidates per query.
+    """
+    avgdl = pidx.stats["avgdl"] or 1.0
+    empty = spark.createDataFrame([], BATCH_CAND_SCHEMA + ", rank int")
+    query_terms = {qid: analyze_query(q) for qid, q in queries}
+    all_terms = sorted({t for ts in query_terms.values() for t in ts})
+    if not all_terms or pidx.stats["n_docs"] == 0:
+        return empty
+    idf_map = _lookup_idf(spark, pidx, all_terms)
+    if not idf_map:
+        return empty
+    postings, doclen = _pruned_reads(spark, pidx, list(idf_map))
+    if postings is None:
+        return empty
+    kernel = make_wand_batch_kernel(query_terms, idf_map, avgdl, k)
+    cands = (
+        postings.groupBy("shard")
+        .cogroup(doclen.groupBy("shard"))
+        .applyInPandas(lambda l, r: kernel(l, r), BATCH_CAND_SCHEMA)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "doc_id", "score", "rank")
+    )

@@ -96,6 +96,76 @@ def cosine_topk_lsh(
     return cosine_topk_bruteforce(cands, query_vec, k, vec_col, id_col)
 
 
+def _assign_cell(vec_col, centroids: List[List[float]]):
+    """cell = argmax cosine vs broadcast centroid list (JVM-side exprs)."""
+    sims = []
+    for c in centroids:
+        cn = float(np.linalg.norm(np.asarray(c, dtype=np.float64))) or 1.0
+        sims.append(_dot(vec_col, F.array(*[F.lit(float(x)) for x in c])) / F.lit(cn))
+    arr = F.array(*sims)
+    return (F.array_position(arr, F.array_max(arr)) - 1).cast("int")
+
+
+def ivf_build(
+    df: DataFrame,
+    n_cells: int = 16,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """IVF coarse quantizer: deterministic kmeans-lite.
+
+    Init = the n_cells vectors with the smallest ids (deterministic, no RNG
+    on data); `iters` Lloyd rounds where assignment is a broadcast argmax and
+    centroid recompute is one explode+groupBy per round. Returns
+    (df + 'cell' column, centroids). Scale path: assignment is map-side; the
+    only wide op per round is the per-(cell, dim) mean.
+    """
+    seed_rows = df.orderBy(F.col(id_col).asc()).limit(n_cells).collect()
+    centroids = [[float(x) for x in r[vec_col]] for r in seed_rows]
+    for _ in range(iters):
+        assigned = df.withColumn("cell", _assign_cell(F.col(vec_col), centroids))
+        means = (
+            assigned.select("cell", F.posexplode(vec_col).alias("dim", "v"))
+            .groupBy("cell", "dim")
+            .agg(F.avg("v").alias("m"))
+            .collect()
+        )
+        new_c = [list(c) for c in centroids]
+        by_cell: dict = {}
+        for r in means:
+            by_cell.setdefault(r.cell, {})[r.dim] = r.m
+        for cell, dims in by_cell.items():
+            for d, m in dims.items():
+                new_c[cell][d] = float(m)
+        centroids = new_c
+    out = df.withColumn("cell", _assign_cell(F.col(vec_col), centroids))
+    return out, centroids
+
+
+def cosine_topk_ivf(
+    df_with_cells: DataFrame,
+    centroids: List[List[float]],
+    query_vec: Sequence[float],
+    k: int = 10,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ANN via IVF: probe the n_probe cells whose centroids are nearest the
+    query; exact cosine within probed cells only."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = np.linalg.norm(q) or 1.0
+    sims = []
+    for i, c in enumerate(centroids):
+        cv = np.asarray(c, dtype=np.float64)
+        cn = np.linalg.norm(cv) or 1.0
+        sims.append((float(cv @ q) / (cn * qn), i))
+    probe = [i for _, i in sorted(sims, reverse=True)[:n_probe]]
+    cands = df_with_cells.where(F.col("cell").isin(probe))
+    return cosine_topk_bruteforce(cands, query_vec, k, vec_col, id_col)
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     threshold: float = 0.95,

@@ -80,9 +80,10 @@ def read_text_keyvalues(spark: SparkSession, path: str) -> DataFrame:
     distributed line order is not defined; upstream should pre-join them."""
     df = spark.read.text(path)
     kv = F.split(F.col("value"), ":", 2)
+    # F.get returns null when the line has no ':' (strict getItem would throw)
     return df.select(
-        F.trim(kv.getItem(0)).alias("key"),
-        F.trim(kv.getItem(1)).alias("val"),
+        F.trim(F.get(kv, 0)).alias("key"),
+        F.trim(F.get(kv, 1)).alias("val"),
     ).where(F.col("val").isNotNull())
 
 

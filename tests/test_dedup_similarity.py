@@ -128,6 +128,25 @@ def test_lsh_ann_recall(vectors, spark):
             assert r.cosine == pytest.approx(exact_map[r.vec_id], rel=1e-9)
 
 
+def test_ivf_ann_recall(vectors, spark):
+    from importpipeline_spark.operators.similarity import cosine_topk_ivf, ivf_build
+
+    df, base = vectors
+    with_cells, centroids = ivf_build(df, n_cells=8, iters=2)
+    got_exact = cosine_topk_bruteforce(
+        df.where(F.col("vec_id") != 0), [float(x) for x in base[0]], k=10
+    ).collect()
+    got_ivf = cosine_topk_ivf(
+        with_cells.where(F.col("vec_id") != 0), centroids,
+        [float(x) for x in base[0]], k=10, n_probe=4,
+    ).collect()
+    recall = len({r.vec_id for r in got_ivf} & {r.vec_id for r in got_exact}) / 10
+    assert recall >= 0.5, f"IVF recall {recall}"
+    # all cells assigned in range
+    cells = {r.cell for r in with_cells.select("cell").distinct().collect()}
+    assert cells <= set(range(8))
+
+
 def test_embedding_neardup(spark):
     rng = np.random.default_rng(9)
     base = rng.standard_normal((50, 16)).astype(np.float32)

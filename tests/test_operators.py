@@ -232,3 +232,39 @@ def test_epoch_seconds_parse(spark):
     df = spark.createDataFrame([("1700000000",)], "e string")
     r = df.select(to_date_multi(F.col("e")).alias("ts")).first()
     assert r.ts is not None and r.ts.year == 2023
+
+
+def test_html_url_encode_decode(spark):
+    from importpipeline_spark.functions.converters import (
+        html_decode_udf,
+        html_encode_udf,
+        url_decode,
+        url_encode,
+    )
+
+    df = spark.createDataFrame(
+        [("a & b <c>", "x y&z=1", "a%20%26%20b", "x &amp; &eacute;")],
+        "raw string, url string, enc string, ent string",
+    )
+    r = df.select(
+        html_encode_udf(F.col("raw")).alias("he"),
+        html_decode_udf(F.col("ent")).alias("hd"),
+        url_encode(F.col("url")).alias("ue"),
+        url_decode(F.col("enc")).alias("ud"),
+    ).first()
+    assert r.he == "a &amp; b &lt;c&gt;"
+    assert r.hd == "x & é"
+    assert "%26" in r.ue or "%3D" in r.ue
+    assert r.ud == "a & b"
+
+
+def test_json_decode_and_format(spark):
+    from importpipeline_spark.functions.converters import format_string, json_decode
+
+    df = spark.createDataFrame([('{"k": 7, "s": "hi"}', 3.5)], "j string, v double")
+    r = df.select(
+        json_decode(F.col("j"), "k int, s string").alias("o"),
+        format_string("v=%.1f!", F.col("v")).alias("f"),
+    ).first()
+    assert r.o.k == 7 and r.o.s == "hi"
+    assert r.f == "v=3.5!"

@@ -1,0 +1,119 @@
+"""Datasource/endpoint equivalents (SURVEY.md §2.1/§2.2)."""
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from importpipeline_spark.sinks.writers import (
+    compact,
+    current_generation,
+    publish_generation,
+    write_csv,
+    write_generation,
+    write_json,
+    write_text,
+)
+from importpipeline_spark.sources.readers import (
+    read_csv,
+    read_file_names,
+    read_html_files,
+    read_json,
+    read_text_keyvalues,
+    read_text_lines,
+)
+
+
+def test_csv_roundtrip(spark, tmp_path):
+    p = str(tmp_path / "c")
+    df = spark.createDataFrame(
+        [("a", 1), ("B", 2), ("c", 3)], "name string, v int"
+    )
+    write_csv(df, p, header=True)
+    got = read_csv(spark, p, header=True)
+    assert got.count() == 3
+    # pre-sort: ordinal case-insensitive single column (CsvDatasource.cs:209-285)
+    names = [r.name for r in read_csv(spark, p, header=True, sort_col="name").collect()]
+    assert names == ["a", "B", "c"]
+    names_d = [
+        r.name
+        for r in read_csv(spark, p, header=True, sort_col="name", sort_desc=True).collect()
+    ]
+    assert names_d == ["c", "B", "a"]
+
+
+def test_csv_options(spark, tmp_path):
+    p = tmp_path / "opt.csv"
+    p.write_text("# comment line\nx;1\ny;2\n")
+    got = read_csv(spark, str(p), sep=";", comment="#", header=False)
+    assert got.count() == 2
+
+
+def test_text_modes(spark, tmp_path):
+    p = tmp_path / "t.txt"
+    p.write_text("line one\nline two\nline three\n")
+    assert read_text_lines(spark, str(p)).count() == 3
+    assert read_text_lines(spark, str(p), maxread=2).count() == 2
+
+    kv = tmp_path / "kv.txt"
+    kv.write_text("key1: value one\nkey2: value two\nnot-a-kv-line\n")
+    got = {r.key: r.val for r in read_text_keyvalues(spark, str(kv)).collect()}
+    assert got == {"key1": "value one", "key2": "value two"}
+
+
+def test_json_modes(spark, tmp_path):
+    nd = tmp_path / "d.ndjson"
+    nd.write_text('{"a": 1}\n{"a": 2}\n')
+    assert read_json(spark, str(nd), object_per_line=True).count() == 2
+    whole = tmp_path / "w.json"
+    whole.write_text('[{"a": 1}, {"a": 2}, {"a": 3}]')
+    assert read_json(spark, str(whole), object_per_line=False).count() == 3
+
+
+def test_file_names_and_html(spark, tmp_path):
+    (tmp_path / "a.html").write_text("<html><body><p>hello world</p></body></html>")
+    (tmp_path / "b.html").write_text("plain text, not enough tags")
+    meta = read_file_names(spark, str(tmp_path / "*.html"))
+    assert meta.count() == 2
+    assert set(meta.columns) == {"path", "length", "modificationTime"}
+    docs = read_html_files(spark, str(tmp_path / "*.html"))
+    by_name = {os.path.basename(r.url): r.text for r in docs.collect()}
+    assert by_name["a.html"] == "hello world"
+    assert by_name["b.html"] == "plain text, not enough tags"  # passthrough
+
+
+def test_json_text_writers(spark, tmp_path):
+    df = spark.createDataFrame([("x", 1), ("y", 2)], "s string, v int")
+    jp = str(tmp_path / "j")
+    write_json(df, jp)
+    assert spark.read.json(jp).count() == 2
+    tp = str(tmp_path / "t")
+    write_text(df, tp, "%s=%d", ["s", "v"])
+    lines = {r.value for r in spark.read.text(tp).collect()}
+    assert lines == {"x=1", "y=2"}
+
+
+def test_generations_atomic_publish(spark, tmp_path):
+    root = str(tmp_path / "gens")
+    os.makedirs(root)
+    df1 = spark.createDataFrame([(1,)], "v int")
+    g1 = write_generation(df1, root)
+    publish_generation(root, g1)
+    assert current_generation(root) == g1
+    # second generation: publish flips pointer; old data intact
+    df2 = spark.createDataFrame([(2,), (3,)], "v int")
+    g2 = write_generation(df2, root)
+    assert current_generation(root) == g1  # not yet published
+    publish_generation(root, g2)
+    assert current_generation(root) == g2
+    assert spark.read.parquet(g1).count() == 1
+    assert spark.read.parquet(current_generation(root)).count() == 2
+
+
+def test_compact(spark, tmp_path):
+    p = str(tmp_path / "cmp")
+    df = spark.range(0, 1000, 1, 16).withColumn("k", F.col("id") % 7)
+    compact(df, p, sort_cols=["k"], n_files=2)
+    files = glob.glob(os.path.join(p, "*.parquet"))
+    assert len(files) == 2
+    assert spark.read.parquet(p).count() == 1000

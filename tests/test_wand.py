@@ -60,6 +60,23 @@ def test_wand_rank_identical(physical, spark, query):
         assert r.score == s, f"score mismatch for {query!r}: {r.score} != {s}"
 
 
+def test_wand_batch_matches_single(physical, spark):
+    from importpipeline_spark.index.wand import bm25_topk_wand_batch
+
+    pidx, oracle = physical
+    qset = [(i + 1, q) for i, q in enumerate(QUERIES)]
+    res = bm25_topk_wand_batch(spark, pidx, qset, k=10).collect()
+    by_q = {}
+    for r in res:
+        by_q.setdefault(r.query_id, []).append(r)
+    for qid, query in qset:
+        expected = oracle.topk(analyze_query(query), k=10)
+        rows = sorted(by_q.get(qid, []), key=lambda r: r.rank)
+        assert [r.doc_id for r in rows] == [d for d, _ in expected], f"qid={qid}"
+        for r, (_, s) in zip(rows, expected):
+            assert r.score == s
+
+
 def test_wand_k_variants(physical, spark):
     pidx, oracle = physical
     for k in (1, 3, 25, 100):
