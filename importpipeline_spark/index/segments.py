@@ -210,12 +210,17 @@ def build_index_resumable(
             raise RuntimeError(f"injected failure after segment {seg}")
 
     # dictionary derived from the completed posting segments (df = Σ block n
-    # per term) — idempotent, so a resumed run just re-derives it
+    # per term, + the shard list for query-side partition pruning) —
+    # idempotent, so a resumed run just re-derives it
     (
         spark.read.option("basePath", os.path.join(root, "postings"))
         .parquet(os.path.join(root, "postings"))
         .groupBy("term")
-        .agg(F.sum("n").alias("df"))
+        .agg(
+            F.sum("n").alias("df"),
+            F.sort_array(F.collect_set("shard")).alias("shards"),
+        )
+        .coalesce(4)
         .write.mode("overwrite")
         .parquet(os.path.join(root, "terms"))
     )

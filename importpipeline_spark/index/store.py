@@ -160,10 +160,16 @@ def write_index(
     )
     # dictionary derived from posting metadata (df = Σ block n per term) —
     # aggregates ~|terms|·|shards| block rows (from the cached blocks)
-    # instead of re-shuffling the full tf relation
+    # instead of re-shuffling the full tf relation. Each term also records
+    # WHICH shards hold it, so the query path partition-prunes postings and
+    # doclen from the dictionary lookup alone (no extra planning job).
     (
         postings.groupBy("term")
-        .agg(F.sum("n").alias("df"))
+        .agg(
+            F.sum("n").alias("df"),
+            F.sort_array(F.collect_set("shard")).alias("shards"),
+        )
+        .coalesce(4)
         .write.mode("overwrite")
         .parquet(os.path.join(root, "terms"))
     )

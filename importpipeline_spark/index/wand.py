@@ -232,25 +232,31 @@ def make_wand_batch_kernel(
     return kernel
 
 
-def _lookup_idf(spark, pidx, terms: List[str]) -> Dict[str, float]:
+def _lookup_idf(spark, pidx, terms: List[str]):
+    """One dictionary scan → (idf per term, union of candidate shards).
+
+    The dictionary row carries each term's shard list (recorded at build),
+    so partition pruning needs no extra planning job over the postings."""
     n = pidx.stats["n_docs"]
     rows = (
         spark.read.parquet(pidx.terms_path)
         .where(F.col("term").isin(terms))
         .collect()
     )
-    return {r.term: _lucene_idf(int(r.df), n) for r in rows}
+    idf_map = {r.term: _lucene_idf(int(r.df), n) for r in rows}
+    shards = sorted({int(s) for r in rows for s in (r.shards or [])})
+    return idf_map, shards
 
 
-def _pruned_reads(spark, pidx, terms: List[str]):
-    """postings filtered to terms + doclen pruned to the candidate shards."""
-    postings = spark.read.parquet(pidx.postings_path).where(
-        F.col("term").isin(terms)
-    )
-    shards = [r.shard for r in postings.select("shard").distinct().collect()]
+def _pruned_reads(spark, pidx, terms: List[str], shards: List[int]):
+    """postings filtered to terms + both scans pruned to candidate shards."""
     if not shards:
         return None, None
-    postings = postings.where(F.col("shard").isin(shards))
+    postings = (
+        spark.read.parquet(pidx.postings_path)
+        .where(F.col("shard").isin(shards))
+        .where(F.col("term").isin(terms))
+    )
     doclen = spark.read.parquet(pidx.doclen_path).where(F.col("shard").isin(shards))
     return postings, doclen
 
@@ -267,10 +273,10 @@ def bm25_topk_wand(
     empty = spark.createDataFrame([], CAND_SCHEMA)
     if not terms or pidx.stats["n_docs"] == 0:
         return empty
-    idf_map = _lookup_idf(spark, pidx, terms)
+    idf_map, shards = _lookup_idf(spark, pidx, terms)
     if not idf_map:
         return empty
-    postings, doclen = _pruned_reads(spark, pidx, list(idf_map))
+    postings, doclen = _pruned_reads(spark, pidx, list(idf_map), shards)
     if postings is None:
         return empty
     kernel = make_wand_kernel(idf_map, avgdl, k)
@@ -300,10 +306,10 @@ def bm25_topk_wand_batch(
     all_terms = sorted({t for ts in query_terms.values() for t in ts})
     if not all_terms or pidx.stats["n_docs"] == 0:
         return empty
-    idf_map = _lookup_idf(spark, pidx, all_terms)
+    idf_map, shards = _lookup_idf(spark, pidx, all_terms)
     if not idf_map:
         return empty
-    postings, doclen = _pruned_reads(spark, pidx, list(idf_map))
+    postings, doclen = _pruned_reads(spark, pidx, list(idf_map), shards)
     if postings is None:
         return empty
     kernel = make_wand_batch_kernel(query_terms, idf_map, avgdl, k)
