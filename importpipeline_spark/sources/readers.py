@@ -127,6 +127,41 @@ def read_file_names(spark: SparkSession, glob: str,
     return reader.load(glob).select("path", "length", "modificationTime")
 
 
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table_or_query: str,
+    properties: Optional[dict] = None,
+    partition_column: Optional[str] = None,
+    lower_bound: Optional[int] = None,
+    upper_bound: Optional[int] = None,
+    num_partitions: int = 8,
+    timeout_s: int = 0,
+) -> DataFrame:
+    """SqlDatasource/MysqlDatasource/OdbcDatasource equivalent
+    (Datasources/SqlDatasource.cs:35-291): table or query scan over JDBC with
+    per-query timeout and parallel range partitioning (the scalable form of
+    the reference's single-connection EmitRecords loop)."""
+    props = dict(properties or {})
+    if timeout_s:
+        props["queryTimeout"] = str(timeout_s)
+    reader = spark.read.format("jdbc").option("url", url)
+    if table_or_query.lstrip().lower().startswith("select"):
+        reader = reader.option("query", table_or_query)
+    else:
+        reader = reader.option("dbtable", table_or_query)
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+            .option("numPartitions", str(num_partitions))
+        )
+    for k, v in props.items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
 def read_html_files(spark: SparkSession, glob: str) -> DataFrame:
     """TikaDS/HtmlDatasource replacement: binaryFile scan + Arrow extraction
     UDF (TikaDataSource.cs:45-294 without the external Tika service)."""

@@ -57,6 +57,14 @@ def tokenize_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
         yield tokenize_series(s)
 
 
+@F.pandas_udf(StringType())
+def normalize_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    """NormalizeConverter as a standalone column op (NFD → strip Mn → NFC —
+    Converters/NormalizeConverter.cs:41-67)."""
+    for s in batches:
+        yield strip_diacritics(s)
+
+
 def normalize_term(term: str) -> str:
     """Query-side single-term normalization — must match tokenize_* exactly."""
     toks = tokenize_scalar(term)

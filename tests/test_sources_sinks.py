@@ -82,6 +82,44 @@ def test_file_names_and_html(spark, tmp_path):
     assert by_name["b.html"] == "plain text, not enough tags"  # passthrough
 
 
+def test_xml_elements(spark, tmp_path):
+    from importpipeline_spark.sources.readers import read_xml_elements
+
+    p = tmp_path / "d.xml"
+    p.write_text(
+        "<root><item><name>alpha</name></item><item><name>beta</name></item></root>"
+    )
+    got = read_xml_elements(spark, str(p), "/root/item/name/text()")
+    row = got.first()
+    assert list(row.values) == ["alpha", "beta"]
+
+
+def test_normalize_udf(spark):
+    from importpipeline_spark.text.tokenizer import normalize_udf
+
+    df = spark.createDataFrame([("Café Über señor",), (None,)], "s string")
+    got = [r.n for r in df.select(normalize_udf(F.col("s")).alias("n")).collect()]
+    assert got == ["Cafe Uber senor", None]
+
+
+def test_categorizer_array_match(spark):
+    from importpipeline_spark.functions.categorizer import (
+        Category,
+        apply_categories,
+        sel_any_element,
+    )
+
+    df = spark.createDataFrame(
+        [(1, ["x", "spam"]), (2, ["ok"]), (3, [])],
+        "id int, tags array<string>",
+    )
+    cats = [
+        Category(sel_any_element("tags", lambda t: t == F.lit("spam")), "flagged")
+    ]
+    got = {r.id: r.cat for r in apply_categories(df, cats, "cat").collect()}
+    assert got == {1: "flagged", 2: None, 3: None}
+
+
 def test_json_text_writers(spark, tmp_path):
     df = spark.createDataFrame([("x", 1), ("y", 2)], "s string, v int")
     jp = str(tmp_path / "j")
