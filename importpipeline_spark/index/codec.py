@@ -32,12 +32,12 @@ def from_u64(u: np.ndarray) -> np.ndarray:
     return (u ^ _SIGN).view(np.int64)
 
 
-def varint_encode(values: np.ndarray) -> bytes:
-    """LEB128 varint encode a uint64 array (vectorized)."""
+def _varint_bytes_and_lengths(values: np.ndarray):
+    """Vectorized LEB128 encode → (byte array, per-value byte lengths)."""
     v = values.astype(np.uint64, copy=False)
     n = len(v)
     if n == 0:
-        return b""
+        return np.empty(0, dtype=np.uint8), np.empty(0, dtype=np.int64)
     # bytes needed per value: ceil(bitlength/7), min 1
     nb = np.ones(n, dtype=np.int64)
     tmp = v >> np.uint64(7)
@@ -53,6 +53,12 @@ def varint_encode(values: np.ndarray) -> bytes:
         chunk = ((v[mask] >> np.uint64(7 * k)) & np.uint64(0x7F)).astype(np.uint8)
         cont = (nb[mask] > k + 1).astype(np.uint8) << 7
         out[starts[mask] + k] = chunk | cont
+    return out, nb
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """LEB128 varint encode a uint64 array (vectorized)."""
+    out, _ = _varint_bytes_and_lengths(values)
     return out.tobytes()
 
 
@@ -125,3 +131,76 @@ def decode_block(docs_enc: bytes, tfs_enc: bytes, min_doc_u_bits: int, n: int):
     doc_u = base + np.cumsum(deltas, dtype=np.uint64)
     tfs = varint_decode(tfs_enc, n)
     return doc_u, tfs
+
+
+def encode_shard_blocks(
+    doc_u: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    run_starts: np.ndarray,
+    block_size: int = BLOCK_SIZE,
+):
+    """Whole-shard vectorized block encoding.
+
+    Inputs are the shard's postings lexsorted by (term, doc_u);
+    ``run_starts`` marks each term run's first index. The entire shard's
+    delta+varint streams are produced in ONE vectorized pass (no per-block
+    Python), then sliced per block from the byte-length prefix sums —
+    byte-identical to per-block ``encode_blocks`` output.
+
+    Returns parallel arrays/lists over all blocks:
+      (run_of_block, block_id, n, min_doc_bits, max_doc_bits,
+       docs_enc list, tfs_enc list, max_tf, min_dl)
+    """
+    total = len(doc_u)
+    if total == 0:
+        z = np.empty(0, dtype=np.int64)
+        return z, z, z, z, z, [], [], z, z
+    doc_u = np.ascontiguousarray(doc_u, dtype=np.uint64)
+    run_ends = np.concatenate((run_starts[1:], [total]))
+    run_lens = run_ends - run_starts
+    # block starts: every block_size within each run
+    n_blocks_per_run = (run_lens + block_size - 1) // block_size
+    total_blocks = int(n_blocks_per_run.sum())
+    run_of_block = np.repeat(np.arange(len(run_starts)), n_blocks_per_run)
+    # block index within its run
+    block_id = np.arange(total_blocks) - np.repeat(
+        np.concatenate(([0], np.cumsum(n_blocks_per_run)[:-1])), n_blocks_per_run
+    )
+    b_start = run_starts[run_of_block] + block_id * block_size
+    b_end = np.minimum(b_start + block_size, run_ends[run_of_block])
+    ns = b_end - b_start
+
+    # deltas: doc_u - prev within block; first element of each block = 0
+    deltas = np.empty(total, dtype=np.uint64)
+    deltas[1:] = doc_u[1:] - doc_u[:-1]
+    deltas[b_start] = np.uint64(0)
+
+    d_bytes, d_lens = _varint_bytes_and_lengths(deltas)
+    t_bytes, t_lens = _varint_bytes_and_lengths(tfs.astype(np.uint64, copy=False))
+    d_off = np.concatenate(([0], np.cumsum(d_lens)))
+    t_off = np.concatenate(([0], np.cumsum(t_lens)))
+    d_mem = memoryview(d_bytes.tobytes())
+    t_mem = memoryview(t_bytes.tobytes())
+    docs_enc = [
+        bytes(d_mem[d_off[s]:d_off[e]]) for s, e in zip(b_start, b_end)
+    ]
+    tfs_enc = [
+        bytes(t_mem[t_off[s]:t_off[e]]) for s, e in zip(b_start, b_end)
+    ]
+    bits = doc_u.view(np.int64)
+    min_doc = bits[b_start]
+    max_doc = bits[b_end - 1]
+    max_tf = np.maximum.reduceat(tfs, b_start)
+    min_dl = np.minimum.reduceat(dls, b_start)
+    return (
+        run_of_block,
+        block_id.astype(np.int64),
+        ns.astype(np.int64),
+        min_doc,
+        max_doc,
+        docs_enc,
+        tfs_enc,
+        max_tf.astype(np.int64),
+        min_dl.astype(np.int64),
+    )

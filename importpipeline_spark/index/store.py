@@ -37,7 +37,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..text.tokenizer import ANALYZER_VERSION
 from .build import K1, B, shard_of
-from .codec import BLOCK_SIZE, encode_blocks, to_u64
+from .codec import BLOCK_SIZE, encode_shard_blocks, to_u64
 
 POSTINGS_SCHEMA = (
     "term string, shard int, block_id int, n int, min_doc long, max_doc long, "
@@ -72,16 +72,28 @@ def _encode_shard(tf_pdf: pd.DataFrame, dl_pdf: pd.DataFrame) -> pd.DataFrame:
     dlu = dlu[dorder]
     dlv = dl_pdf["doc_len"].to_numpy(dtype=np.int64)[dorder]
     dls = dlv[np.searchsorted(dlu, u)]
-    # sort by (term, doc_u); encode per-term runs
+    # sort by (term, doc_u); encode the whole shard in one vectorized pass
     order = np.lexsort((u, terms))
     u, tfs, dls, terms = u[order], tfs[order], dls[order], terms[order]
-    starts = np.nonzero(np.concatenate(([True], terms[1:] != terms[:-1])))[0]
-    ends = np.concatenate((starts[1:], [len(terms)]))
-    out = []
-    for s, e in zip(starts, ends):
-        for row in encode_blocks(u[s:e], tfs[s:e], dls[s:e], BLOCK_SIZE):
-            out.append((terms[s], shard) + row)
-    return pd.DataFrame(out, columns=_POSTING_COLS)
+    run_starts = np.nonzero(np.concatenate(([True], terms[1:] != terms[:-1])))[0]
+    (run_of_block, block_id, ns, min_doc, max_doc,
+     docs_enc, tfs_enc, max_tf, min_dl) = encode_shard_blocks(
+        u, tfs, dls, run_starts, BLOCK_SIZE
+    )
+    return pd.DataFrame(
+        {
+            "term": terms[run_starts[run_of_block]],
+            "shard": np.full(len(block_id), shard, dtype=np.int32),
+            "block_id": block_id.astype(np.int32),
+            "n": ns.astype(np.int32),
+            "min_doc": min_doc,
+            "max_doc": max_doc,
+            "docs_enc": docs_enc,
+            "tfs_enc": tfs_enc,
+            "max_tf": max_tf.astype(np.int32),
+            "min_dl": min_dl.astype(np.int32),
+        }
+    )
 
 
 def build_postings_df(tf: DataFrame, doclen: DataFrame, n_shards: int) -> DataFrame:

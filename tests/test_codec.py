@@ -67,6 +67,39 @@ def test_block_roundtrip():
     assert np.array_equal(np.concatenate(got_tf), tfs)
 
 
+def test_vectorized_shard_encode_identical():
+    from importpipeline_spark.index.codec import encode_shard_blocks
+
+    rng = np.random.default_rng(3)
+    runs = [5, 300, 129, 1, 128]
+    u_parts, tf_parts, dl_parts, starts = [], [], [], []
+    pos = 0
+    for L in runs:
+        ids = np.sort(
+            to_u64(np.unique(rng.integers(-(2**62), 2**62, size=L * 2, dtype=np.int64))[:L])
+        )
+        u_parts.append(ids)
+        tf_parts.append(rng.integers(1, 60, L))
+        dl_parts.append(rng.integers(5, 900, L))
+        starts.append(pos)
+        pos += L
+    u = np.concatenate(u_parts)
+    tfs = np.concatenate(tf_parts)
+    dls = np.concatenate(dl_parts)
+    rob, bid, ns, mn, mx, de, te, mtf, mdl = encode_shard_blocks(
+        u, tfs, dls, np.array(starts)
+    )
+    k = 0
+    for r, (s, L) in enumerate(zip(starts, runs)):
+        ref = encode_blocks(u[s:s + L], tfs[s:s + L].astype(np.uint64), dls[s:s + L])
+        for (b, n, rmn, rmx, rde, rte, rmt, rml) in ref:
+            assert (rob[k], bid[k], ns[k]) == (r, b, n)
+            assert (mn[k], mx[k], mtf[k], mdl[k]) == (rmn, rmx, rmt, rml)
+            assert de[k] == rde and te[k] == rte
+            k += 1
+    assert k == len(bid)
+
+
 def test_block_metadata_bounds():
     u = np.arange(1, 300, dtype=np.uint64)
     tfs = np.arange(1, 300, dtype=np.uint64)
