@@ -154,8 +154,8 @@ def build_index_resumable(
 
     docs_tok = docs_df.withColumn("tokens", tokenize_udf(F.col("text")))
     tf = build_tf(docs_tok).withColumn("shard", shard_of(F.col("doc_id"), n_shards))
-    dl = docs_df.select("doc_id", "doc_len").withColumn(
-        "shard", shard_of(F.col("doc_id"), n_shards)
+    dl = docs_df.select(F.col("doc_id").alias("dl_doc_id"), "doc_len").withColumn(
+        "shard", shard_of(F.col("dl_doc_id"), n_shards)
     )
 
     # NOTE: the segment output must NOT be projected (.drop/.select) between
@@ -229,6 +229,141 @@ def build_index_resumable(
 
 
 # ---- incremental import (ExistState semantics) ----
+
+def update_index(
+    spark: SparkSession,
+    root: str,
+    new_pages: DataFrame,
+    run_id: str = "run2",
+    input_snapshot: str = "snap2",
+) -> PhysicalIndex:
+    """Incremental index update: re-index only what changed.
+
+    1. classify the snapshot against the existing docs table
+       (ExistState semantics — skip ExistSame/ExistNewer);
+    2. merge the docs table (replace re-crawled urls, add new ones);
+    3. rebuild postings ONLY for the doc-range shards that contain changed
+       docs — untouched shards' blocks stay valid because block bounds are
+       stats-independent (max_tf, min_dl; see codec.py);
+    4. refresh doclen for affected shards, global stats, and the dictionary
+       (df per term re-derived from block metadata across ALL shards).
+
+    The result is rank-identical to a full rebuild over the merged corpus
+    (verified in tests).
+    """
+    with open(os.path.join(root, "stats.json")) as f:
+        stats = json.load(f)
+    n_shards = int(stats["n_shards"])
+    docs_path = os.path.join(root, "docs")
+    old_docs = spark.read.parquet(docs_path)
+
+    changed_pages = incremental_pages(new_pages, old_docs)
+    changed_docs, errors = build_docs_safe(changed_pages)
+    changed_docs = changed_docs.drop("tokens").persist()
+    if changed_docs.count() == 0:
+        changed_docs.unpersist()
+        return PhysicalIndex(root=root, stats=stats)
+    errors.write.mode("append").parquet(os.path.join(root, "errors"))
+
+    affected = sorted(
+        r.s
+        for r in changed_docs.select(
+            shard_of(F.col("doc_id"), n_shards).alias("s")
+        ).distinct().collect()
+    )
+
+    # merged docs table: drop replaced urls, add changed docs
+    merged = old_docs.join(
+        changed_docs.select("url"), "url", "left_anti"
+    ).unionByName(changed_docs)
+    tmp_docs = docs_path + ".tmp"
+    merged.write.mode("overwrite").parquet(tmp_docs)
+    shutil.rmtree(docs_path)
+    os.replace(tmp_docs, docs_path)
+    changed_docs.unpersist()
+
+    docs_df = spark.read.parquet(docs_path)
+    # refresh stats (exact-int avgdl)
+    row = docs_df.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("doc_len").alias("t")
+    ).first()
+    stats.update(
+        n_docs=int(row.n),
+        total_tokens=int(row.t or 0),
+        avgdl=(int(row.t or 0) / int(row.n)) if row.n else 0.0,
+        run_id=run_id,
+        input_snapshot=input_snapshot,
+    )
+
+    # rebuild only the affected shards (postings + doclen partitions)
+    from ..text.tokenizer import tokenize_udf
+
+    sh = shard_of(F.col("doc_id"), n_shards)
+    docs_aff = docs_df.where(sh.isin(affected))
+    docs_tok = docs_aff.withColumn("tokens", tokenize_udf(F.col("text")))
+    tf = build_tf(docs_tok).withColumn("shard", shard_of(F.col("doc_id"), n_shards))
+    dl = docs_aff.select(F.col("doc_id").alias("dl_doc_id"), "doc_len").withColumn(
+        "shard", shard_of(F.col("dl_doc_id"), n_shards)
+    )
+    seg_schema = POSTINGS_SCHEMA.replace("shard int, ", "")
+
+    def _encode_no_shard(l, r):
+        return _encode_shard(l, r).drop(columns=["shard"])
+
+    for seg in affected:
+        out = (
+            tf.where(F.col("shard") == seg).groupBy("shard")
+            .cogroup(dl.where(F.col("shard") == seg).groupBy("shard"))
+            .applyInPandas(_encode_no_shard, seg_schema)
+        )
+        path = _seg_path(root, seg)
+        shutil.rmtree(path, ignore_errors=True)
+        out.write.mode("overwrite").parquet(path)
+        dl_path = os.path.join(root, "doclen", f"shard={seg}")
+        dl_tmp = dl_path + ".tmp"
+        (
+            dl.where(F.col("shard") == seg)
+            .select(F.col("dl_doc_id").alias("doc_id"), "doc_len")
+            .sortWithinPartitions("doc_id")
+            .write.mode("overwrite")
+            .parquet(dl_tmp)
+        )
+        shutil.rmtree(dl_path, ignore_errors=True)
+        os.replace(dl_tmp, dl_path)
+        _append_lineage(
+            root,
+            {
+                "run_id": run_id,
+                "segment_id": seg,
+                "input_snapshot": input_snapshot,
+                "n_docs": int(dl.where(F.col("shard") == seg).count()),
+                "n_postings": None,
+                "status": "ok",
+                "started_ts": datetime.now(timezone.utc).isoformat(),
+                "finished_ts": datetime.now(timezone.utc).isoformat(),
+                "metrics": {"incremental": 1},
+            },
+        )
+
+    # dictionary: df must reflect ALL shards (cheap block-metadata agg)
+    (
+        spark.read.option("basePath", os.path.join(root, "postings"))
+        .parquet(os.path.join(root, "postings"))
+        .groupBy("term")
+        .agg(
+            F.sum("n").alias("df"),
+            F.sort_array(F.collect_set("shard")).alias("shards"),
+        )
+        .coalesce(4)
+        .write.mode("overwrite")
+        .parquet(os.path.join(root, "terms"))
+    )
+    tmp = os.path.join(root, "stats.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(stats, f)
+    os.replace(tmp, os.path.join(root, "stats.json"))
+    return PhysicalIndex(root=root, stats=stats)
+
 
 def classify_snapshot(
     new_pages: DataFrame, existing_docs: DataFrame

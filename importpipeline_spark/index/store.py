@@ -66,8 +66,11 @@ def _encode_shard(tf_pdf: pd.DataFrame, dl_pdf: pd.DataFrame) -> pd.DataFrame:
     u = to_u64(tf_pdf["doc_id"].to_numpy(dtype=np.int64))
     tfs = tf_pdf["tf"].to_numpy(dtype=np.int64)
     terms = tf_pdf["term"].to_numpy(dtype=object)
-    # doclen lookup for the shard
-    dlu = to_u64(dl_pdf["doc_id"].to_numpy(dtype=np.int64))
+    # doclen lookup for the shard (the dl side's key is renamed in-flight to
+    # dodge Spark's ambiguous-self-join analysis when tf and doclen derive
+    # from the same parent frame)
+    dl_key = "dl_doc_id" if "dl_doc_id" in dl_pdf.columns else "doc_id"
+    dlu = to_u64(dl_pdf[dl_key].to_numpy(dtype=np.int64))
     dorder = np.argsort(dlu)
     dlu = dlu[dorder]
     dlv = dl_pdf["doc_len"].to_numpy(dtype=np.int64)[dorder]
@@ -104,7 +107,10 @@ def build_postings_df(tf: DataFrame, doclen: DataFrame, n_shards: int) -> DataFr
     time (block bounds are stats-independent: max_tf + min_dl).
     """
     tf_s = tf.withColumn("shard", shard_of(F.col("doc_id"), n_shards))
-    dl_s = doclen.withColumn("shard", shard_of(F.col("doc_id"), n_shards))
+    dl_s = (
+        doclen.select(F.col("doc_id").alias("dl_doc_id"), "doc_len")
+        .withColumn("shard", shard_of(F.col("dl_doc_id"), n_shards))
+    )
     return (
         tf_s.groupBy("shard")
         .cogroup(dl_s.groupBy("shard"))
