@@ -220,6 +220,17 @@ def headline() -> None:
     times["wand_query_avg"] = round((time.perf_counter() - t0) / len(WAND_QUERIES), 3)
     total += build_sec
 
+    # driver-local serving throughput (index resident, same kernels)
+    from importpipeline_spark.index.serve import LocalSearcher
+
+    searcher = LocalSearcher(idx_root)
+    searcher.search(WAND_QUERIES[0], k=10)
+    n_q = 100
+    t0 = time.perf_counter()
+    for i in range(n_q):
+        searcher.search(WAND_QUERIES[i % len(WAND_QUERIES)], k=10)
+    times["serve_qps"] = round(n_q / (time.perf_counter() - t0), 1)
+
     print(json.dumps({
         "metric": "docs_indexed_per_sec",
         "value": round(n_docs / build_sec, 1),

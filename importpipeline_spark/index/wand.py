@@ -62,19 +62,48 @@ class _ShardIndex:
                  avgdl: float, k1: float, b: float):
         dl_u = to_u64(dl_pdf["doc_id"].to_numpy(dtype=np.int64))
         dl_order = np.argsort(dl_u)
-        self.dl_u = dl_u[dl_order]
-        self.dl_v = dl_pdf["doc_len"].to_numpy(dtype=np.float64)[dl_order]
-        self.min_u = post_pdf["min_doc"].to_numpy(dtype=np.int64).view(np.uint64)
-        self.max_u = post_pdf["max_doc"].to_numpy(dtype=np.int64).view(np.uint64)
-        self.ns = post_pdf["n"].to_numpy(dtype=np.int64)
-        self.tcodes = post_pdf["term"].map(tcode_map).to_numpy(dtype=np.int64)
-        self.docs_enc = post_pdf["docs_enc"].to_numpy(dtype=object)
-        self.tfs_enc = post_pdf["tfs_enc"].to_numpy(dtype=object)
-        max_tf = post_pdf["max_tf"].to_numpy(dtype=np.float64)
-        min_dl = post_pdf["min_dl"].to_numpy(dtype=np.float64)
+        self._init(
+            min_u=post_pdf["min_doc"].to_numpy(dtype=np.int64).view(np.uint64),
+            max_u=post_pdf["max_doc"].to_numpy(dtype=np.int64).view(np.uint64),
+            ns=post_pdf["n"].to_numpy(dtype=np.int64),
+            tcodes=post_pdf["term"].map(tcode_map).to_numpy(dtype=np.int64),
+            docs_enc=post_pdf["docs_enc"].to_numpy(dtype=object),
+            tfs_enc=post_pdf["tfs_enc"].to_numpy(dtype=object),
+            max_tf=post_pdf["max_tf"].to_numpy(dtype=np.float64),
+            min_dl=post_pdf["min_dl"].to_numpy(dtype=np.float64),
+            dl_u=dl_u[dl_order],
+            dl_v=dl_pdf["doc_len"].to_numpy(dtype=np.float64)[dl_order],
+            idf_arr=idf_arr, avgdl=avgdl, k1=k1, b=b,
+        )
+
+    @classmethod
+    def from_arrays(cls, **kw) -> "_ShardIndex":
+        """Construct straight from preloaded numpy arrays (serving path —
+        avoids any per-query pandas work)."""
+        self = cls.__new__(cls)
+        self._init(**kw)
+        return self
+
+    def _init(self, *, min_u, max_u, ns, tcodes, docs_enc, tfs_enc,
+              max_tf, min_dl, dl_u, dl_v, idf_arr, avgdl, k1, b,
+              block_keys=None, raw_cache=None):
+        # optional cross-query raw-decode cache (serving path): maps an
+        # external stable block key → (doc_u, tf, dl); contributions are
+        # recomputed per query (idf/stats may differ) but varint decode +
+        # doclen lookup — the expensive part — happens once per block ever
+        self._block_keys = block_keys
+        self._raw_cache = raw_cache
+        self.dl_u = dl_u
+        self.dl_v = dl_v
+        self.min_u = min_u
+        self.max_u = max_u
+        self.ns = ns
+        self.tcodes = tcodes
+        self.docs_enc = docs_enc
+        self.tfs_enc = tfs_enc
         # stats-independent per-block bound: score(max_tf, min_dl)
         self.ub = (
-            idf_arr[self.tcodes]
+            idf_arr[tcodes]
             * max_tf
             * (k1 + 1.0)
             / (max_tf + k1 * (1.0 - b + b * min_dl / avgdl))
@@ -89,10 +118,20 @@ class _ShardIndex:
         got = self._decoded.get(bi)
         if got is not None:
             return got
-        deltas = varint_decode(self.docs_enc[bi], int(self.ns[bi]))
-        du = self.min_u[bi] + np.cumsum(deltas, dtype=np.uint64)
-        tf = varint_decode(self.tfs_enc[bi], int(self.ns[bi])).astype(np.float64)
-        dl = self.dl_v[np.searchsorted(self.dl_u, du)]
+        raw = None
+        key = None
+        if self._raw_cache is not None:
+            key = int(self._block_keys[bi])
+            raw = self._raw_cache.get(key)
+        if raw is None:
+            deltas = varint_decode(self.docs_enc[bi], int(self.ns[bi]))
+            du = self.min_u[bi] + np.cumsum(deltas, dtype=np.uint64)
+            tf = varint_decode(self.tfs_enc[bi], int(self.ns[bi])).astype(np.float64)
+            dl = self.dl_v[np.searchsorted(self.dl_u, du)]
+            if self._raw_cache is not None:
+                self._raw_cache[key] = (du, tf, dl)
+        else:
+            du, tf, dl = raw
         idf = self.idf_arr[self.tcodes[bi]]
         contrib = (
             idf * tf * (self.k1 + 1.0)
@@ -102,11 +141,52 @@ class _ShardIndex:
         return self._decoded[bi]
 
 
-def _sweep(si: _ShardIndex, sel: np.ndarray, k: int):
+def _score_all(si: _ShardIndex, sel: np.ndarray, k: int):
+    """Fully-vectorized exhaustive scoring of the selected blocks — faster
+    than interval pruning when the candidate set is modest or bounds are
+    flat (uniform head-term disjunctions). Bit-identical accumulation: parts
+    are gathered in ascending term order, stable-sorted by doc, summed
+    sequentially per doc."""
+    order = np.argsort(si.tcodes[sel], kind="stable")
+    d_parts, c_parts = [], []
+    for bi in sel[order]:
+        du, contrib = si.decode(int(bi))
+        d_parts.append(du)
+        c_parts.append(contrib)
+    docs = np.concatenate(d_parts)
+    contribs = np.concatenate(c_parts)
+    srt = np.argsort(docs, kind="stable")
+    docs = docs[srt]
+    contribs = contribs[srt]
+    starts = np.nonzero(np.concatenate(([True], docs[1:] != docs[:-1])))[0]
+    seg_docs = docs[starts]
+    lengths = np.diff(np.concatenate((starts, [len(docs)])))
+    seg_scores = np.zeros(len(starts), dtype=np.float64)
+    for p in range(int(lengths.max())):
+        m = lengths > p
+        seg_scores[m] += contribs[starts[m] + p]
+    top = np.lexsort((seg_docs, -seg_scores))[:k]
+    return seg_docs[top], seg_scores[top]
+
+
+# below this many candidate postings, exhaustive vectorized scoring beats
+# the per-interval Python loop (interval pruning wins on long tails)
+_EXHAUSTIVE_CUTOFF = 500_000
+
+
+def _sweep(si: _ShardIndex, sel: np.ndarray, k: int, theta0: float = -np.inf):
     """Interval-sweep top-k over a subset of blocks (one query's terms).
-    Returns (doc_u uint64[], score float64[]), ≤ k entries, ranked."""
+    Returns (doc_u uint64[], score float64[]), ≤ k entries, ranked.
+
+    ``theta0``: an externally-known lower bound on the global k-th score
+    (e.g. from already-swept shards). Intervals bounded below theta0 can
+    never contribute a global top-k doc, so they are skipped even before k
+    local candidates exist — exactness is preserved because every skipped
+    doc's score ≤ its interval bound < theta0 ≤ the global k-th score."""
     if len(sel) == 0:
         return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.float64)
+    if int(si.ns[sel].sum()) <= _EXHAUSTIVE_CUTOFF:
+        return _score_all(si, sel, k)
     min_u, max_u, ms = si.min_u[sel], si.max_u[sel], si.ub[sel]
     tc = si.tcodes[sel]
     points = np.unique(np.concatenate([min_u, max_u + np.uint64(1)]))
@@ -131,7 +211,8 @@ def _sweep(si: _ShardIndex, sel: np.ndarray, k: int):
         bound = ub[j]
         if bound <= 0.0:
             break
-        if len(top_scores) == k and bound < theta:
+        thresh = max(theta, theta0) if len(top_scores) == k else theta0
+        if bound < thresh:
             break
         lo, hi = points[j], points[j + 1]
         # ascending term order → canonical float accumulation per doc

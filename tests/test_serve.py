@@ -1,0 +1,82 @@
+"""LocalSearcher: driver-local serving must be bit-identical to the oracle,
+plus the randomized WAND-vs-oracle fuzz sweep."""
+
+import time
+
+import pytest
+
+from importpipeline_spark.index.build import build_logical_index
+from importpipeline_spark.index.pagesgen import gen_pages_df
+from importpipeline_spark.index.search import analyze_query
+from importpipeline_spark.index.serve import LocalSearcher
+from importpipeline_spark.index.store import write_index
+
+from bm25_oracle import OracleIndex
+
+QUERIES = [
+    "the", "of and", "ebakaba8", "the ebakaba8 equababa1",
+    "Chélütmân0", "zzzznotaword", "der die und", "the of and to in",
+]
+
+
+@pytest.fixture(scope="module")
+def served(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("serveidx"))
+    pages = gen_pages_df(spark, 600, seed=42, partitions=8)
+    write_index(spark, pages, root, n_shards=8)
+    idx = build_logical_index(pages, cache=False)
+    docs_local = [
+        (r.doc_id, r.tokens or [])
+        for r in idx.docs.select("doc_id", "tokens").collect()
+    ]
+    return LocalSearcher(root), OracleIndex(docs_local)
+
+
+@pytest.mark.parametrize("query", QUERIES)
+def test_local_serving_bit_identical(served, query):
+    searcher, oracle = served
+    expected = oracle.topk(analyze_query(query), k=10)
+    got = searcher.search(query, k=10)
+    assert got == expected, f"query={query!r}"
+
+
+def test_local_serving_latency(served):
+    searcher, _ = served
+    searcher.search("the of", k=10)  # warm
+    t0 = time.perf_counter()
+    n = 50
+    for i in range(n):
+        searcher.search(QUERIES[i % len(QUERIES)], k=10)
+    per_q = (time.perf_counter() - t0) / n
+    # pure-numpy serving must be interactive (well under 100ms at this scale)
+    assert per_q < 0.1, f"{per_q*1000:.1f} ms/query"
+
+
+def test_fuzz_wand_vs_oracle(spark, tmp_path_factory):
+    """Randomized sweep: random corpora slices + random queries; LocalSearcher
+    (same kernels as the distributed WAND) must equal the scalar oracle."""
+    import random
+
+    for seed in (7, 21):
+        root = str(tmp_path_factory.mktemp(f"fuzz{seed}"))
+        pages = gen_pages_df(spark, 250, seed=seed, partitions=4)
+        write_index(spark, pages, root, n_shards=4)
+        idx = build_logical_index(pages, cache=False)
+        docs_local = [
+            (r.doc_id, r.tokens or [])
+            for r in idx.docs.select("doc_id", "tokens").collect()
+        ]
+        oracle = OracleIndex(docs_local)
+        searcher = LocalSearcher(root)
+        vocab = sorted(oracle.df)
+        rng = random.Random(seed)
+        for _ in range(25):
+            n_terms = rng.randint(1, 5)
+            terms = [rng.choice(vocab) for _ in range(n_terms)]
+            if rng.random() < 0.2:
+                terms.append("zzoov")
+            q = " ".join(terms)
+            k = rng.choice([1, 3, 10, 40])
+            assert searcher.search(q, k) == oracle.topk(analyze_query(q), k), (
+                f"seed={seed} q={q!r} k={k}"
+            )
