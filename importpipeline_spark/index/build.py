@@ -166,23 +166,24 @@ def build_docs_and_tf(pages: DataFrame) -> DataFrame:
     from typing import Iterator as _It
 
     from ..html.htmltext import html_to_text as _h2t
-    from ..text.tokenizer import tokenize_scalar as _tok
+    from ..text.tokenizer import tokenize_series as _tok_series
 
     def run(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
         for pdf in batches:
-            texts, lens, pairs = [], [], []
+            texts = []
             for v in pdf["html"]:
                 if v is None:
                     texts.append(None)
-                    lens.append(0)
-                    pairs.append(None)
                     continue
                 if isinstance(v, (bytes, bytearray)):
                     v = bytes(v).decode("utf-8", errors="replace")
-                t = _h2t(v)
-                texts.append(t)
-                toks = _tok(t) if t is not None else None
-                if toks is None:
+                texts.append(_h2t(v))
+            # tokenization vectorized over the whole Arrow batch (pandas str
+            # ops — same pinned analyzer as tokenize_scalar, asserted in tests)
+            tok_lists = _tok_series(pd.Series(texts, dtype=object))
+            lens, pairs = [], []
+            for toks in tok_lists:
+                if toks is None or (isinstance(toks, float)):
                     lens.append(0)
                     pairs.append(None)
                 else:
