@@ -147,6 +147,9 @@ def scaling(n_docs: int, out_root: str = "/tmp/bench_scaling",
     ]
     thr_n, thr_4n = results[0]["docs_per_sec"], results[1]["docs_per_sec"]
     eff = (thr_4n / thr_n) / 4.0
+    # efficiency relative to what the host can physically express right now
+    # (shared VM: the raw-CPU ceiling itself moves with neighbor load)
+    eff_norm = eff / calib["ceiling"] if calib["ceiling"] else eff
     md = f"""# BENCH/BASELINE.md — measured numbers
 
 Index build (pages parquet → extract → tokenize → postings/doclen/terms),
@@ -159,6 +162,10 @@ identical input ({n_docs} docs), two parallelism levels on one host
 | local[{cores_pair[1]}] (4N) | {results[1]['build_sec']} | {thr_4n} | {results[1]['wand_query_sec']} |
 
 **Scaling efficiency** = (thr@4N / thr@N) / 4 = **{eff:.3f}** (target ≥ 0.8).
+**Normalized by the concurrently-measured raw-CPU ceiling
+({calib['ceiling']:.3f})** — i.e. the engine's efficiency relative to what
+this shared host can physically express at measurement time —
+= **{eff_norm:.3f}**.
 
 Hardware context: this host advertises 32 logical CPUs but raw Python
 multiprocessing (pure CPU burn, no I/O) measures only ~12 effective cores:
@@ -174,6 +181,7 @@ host is a noisy shared VM).
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)
     print(json.dumps({"metric": "scaling_efficiency", "value": round(eff, 3),
+                      "normalized_by_cpu_ceiling": round(eff_norm, 3),
                       "unit": "ratio", "cpu_calibration": calib,
                       "results": results}))
 
