@@ -94,7 +94,7 @@ def q_topk_orders(spark, sf_dir):
         n=10,
     )
     w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
-    return top.withColumn("rank", F.row_number().over(w)).select(
+    return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
         "rank", "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice")
     )
 
@@ -115,7 +115,7 @@ def q_topk_per_group(spark, sf_dir):
     w = Window.partitionBy("l_returnflag").orderBy(
         F.col("l_extendedprice").desc(), F.col("l_orderkey").asc(), F.col("l_linenumber").asc()
     )
-    return top.withColumn("rank", F.row_number().over(w)).select(
+    return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
         "l_returnflag",
         "rank",
         "l_orderkey",
@@ -170,8 +170,8 @@ def q_converter_dates(spark, sf_dir):
     """date converters / datepart (Converters.cs:193-434)."""
     orders = _t(spark, sf_dir, "orders")
     return (
-        orders.withColumn("o_year", F.year("o_orderdate"))
-        .withColumn("o_month", F.month("o_orderdate"))
+        orders.withColumn("o_year", F.year("o_orderdate").cast("long"))
+        .withColumn("o_month", F.month("o_orderdate").cast("long"))
         .withColumn("o_ym", F.date_format("o_orderdate", "yyyy-MM"))
         .groupBy("o_year", "o_month", "o_ym")
         .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("o_totalprice"), 2).alias("sum_price"))
@@ -223,8 +223,8 @@ def q_token_stats_docs(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
-        token_count(F.col("text")).alias("n_tokens"),
-        F.length("text").alias("len_chars"),
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("len_chars"),
         fingerprint(F.col("text")).alias("fp"),
     )
 
@@ -236,7 +236,7 @@ def q_term_freq_top20(spark, sf_dir):
     agg = terms.groupBy("term").agg(F.count(F.lit(1)).alias("freq"))
     w = Window.orderBy(F.col("freq").desc(), F.col("term").asc())
     return (
-        agg.withColumn("rank", F.row_number().over(w))
+        agg.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= 20)
         .select("rank", "term", "freq")
     )
@@ -279,7 +279,7 @@ def q_cosine_topk(spark, sf_dir):
     qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).first().embedding]
     out = cosine_topk_bruteforce(emb.where(F.col("vec_id") != 0), qvec, k=10)
     w = Window.orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
-    return out.withColumn("rank", F.row_number().over(w)).select(
+    return out.withColumn("rank", F.row_number().over(w).cast("long")).select(
         "rank", "vec_id", F.round("cosine", 4).alias("cosine")
     )
 
@@ -305,7 +305,9 @@ def q_langid_confusion(spark, sf_dir):
 def q_repeat_regions(spark, sf_dir):
     """RepeatProcessor (PostProcessors/RepeatProcessor.cs:35-76)."""
     region = _t(spark, sf_dir, "region")
-    return repeat_processor(region, 3).select("r_regionkey", "r_name", "copy_id")
+    return repeat_processor(region, 3).select(
+        "r_regionkey", "r_name", F.col("copy_id").cast("long").alias("copy_id")
+    )
 
 
 def q_sort_multikey(spark, sf_dir):
@@ -317,7 +319,7 @@ def q_sort_multikey(spark, sf_dir):
         F.col("value").desc_nulls_last(),
         F.col("event_id").asc(),
     )
-    return ev.withColumn("pos", F.row_number().over(w)).select(
+    return ev.withColumn("pos", F.row_number().over(w).cast("long")).select(
         "pos", "event_id", "event_type", F.round("value", 4).alias("value")
     )
 
@@ -364,7 +366,7 @@ def q_bm25_topk_docs(spark, sf_dir):
     scored = contrib.groupBy("doc_id").agg(F.sum("c").alias("score"))
     w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= BM25_K)
         .select("rank", "doc_id", F.round("score", 4).alias("score"))
     )
