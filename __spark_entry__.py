@@ -699,7 +699,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bm25_topk_docs": f"""
             WITH toks AS (
-                SELECT doc_id, unnest(string_split(trim(lower(text)), ' ')) AS term
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
                 FROM documents
             ),
             dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),

@@ -113,7 +113,12 @@ def datepart(c: Column, part: str) -> Column:
 
 def to_long(c: Column, group_sep: str = ",", decimal_sep: str = ".") -> Column:
     cleaned = F.replace(c.cast("string"), F.lit(group_sep), F.lit(""))
-    return cleaned.cast("double").cast("long")
+    # direct long cast first: exact for the full int64 range (a double
+    # round-trip silently corrupts values above 2^53); decimal strings fall
+    # back to the double path
+    return F.coalesce(
+        cleaned.try_cast("long"), cleaned.cast("double").cast("long")
+    )
 
 
 def to_double(c: Column, group_sep: str = ",", decimal_sep: str = ".") -> Column:

@@ -288,16 +288,23 @@ def _fast_parse(html: str) -> _Elem:
         if selfclose or name in _VOID:
             continue
         if name in _RAW_CONTENT:
-            m2 = re.compile(r"</\s*" + name, re.IGNORECASE).search(html, i)
+            # html.parser only leaves CDATA mode on an END TAG whose name is
+            # exactly the raw element ('</scriptx>' stays data); accept only
+            # the exact well-formed close and bail on near-misses
+            close_re = re.compile(r"</\s*" + name + r"\s*>", re.IGNORECASE)
+            near_re = re.compile(r"</\s*" + name, re.IGNORECASE)
+            m2 = close_re.search(html, i)
             if not m2:
+                raise _FastUnsupported
+            mnear = near_re.search(html, i)
+            if mnear and mnear.start() != m2.start():
+                # a '</script…' that is not the exact close tag → the stdlib
+                # parser would treat it as data; outside the fast subset
                 raise _FastUnsupported
             raw = html[i:m2.start()]
             if raw:
                 node.children.append(_Text(raw, node))
-            gt2 = html.find(">", m2.end())
-            if gt2 < 0:
-                raise _FastUnsupported
-            i = gt2 + 1
+            i = m2.end()
             continue
         stack.append(node)
     flush()

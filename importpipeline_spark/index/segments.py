@@ -230,76 +230,16 @@ def build_index_resumable(
 
 # ---- incremental import (ExistState semantics) ----
 
-def update_index(
-    spark: SparkSession,
-    root: str,
-    new_pages: DataFrame,
-    run_id: str = "run2",
-    input_snapshot: str = "snap2",
-) -> PhysicalIndex:
-    """Incremental index update: re-index only what changed.
-
-    1. classify the snapshot against the existing docs table
-       (ExistState semantics — skip ExistSame/ExistNewer);
-    2. merge the docs table (replace re-crawled urls, add new ones);
-    3. rebuild postings ONLY for the doc-range shards that contain changed
-       docs — untouched shards' blocks stay valid because block bounds are
-       stats-independent (max_tf, min_dl; see codec.py);
-    4. refresh doclen for affected shards, global stats, and the dictionary
-       (df per term re-derived from block metadata across ALL shards).
-
-    The result is rank-identical to a full rebuild over the merged corpus
-    (verified in tests).
-    """
-    with open(os.path.join(root, "stats.json")) as f:
-        stats = json.load(f)
-    n_shards = int(stats["n_shards"])
-    docs_path = os.path.join(root, "docs")
-    old_docs = spark.read.parquet(docs_path)
-
-    changed_pages = incremental_pages(new_pages, old_docs)
-    changed_docs, errors = build_docs_safe(changed_pages)
-    changed_docs = changed_docs.drop("tokens").persist()
-    if changed_docs.count() == 0:
-        changed_docs.unpersist()
-        return PhysicalIndex(root=root, stats=stats)
-    errors.write.mode("append").parquet(os.path.join(root, "errors"))
-
-    affected = sorted(
-        r.s
-        for r in changed_docs.select(
-            shard_of(F.col("doc_id"), n_shards).alias("s")
-        ).distinct().collect()
-    )
-
-    # merged docs table: drop replaced urls, add changed docs
-    merged = old_docs.join(
-        changed_docs.select("url"), "url", "left_anti"
-    ).unionByName(changed_docs)
-    tmp_docs = docs_path + ".tmp"
-    merged.write.mode("overwrite").parquet(tmp_docs)
-    shutil.rmtree(docs_path)
-    os.replace(tmp_docs, docs_path)
-    changed_docs.unpersist()
-
-    docs_df = spark.read.parquet(docs_path)
-    # refresh stats (exact-int avgdl)
-    row = docs_df.agg(
-        F.count(F.lit(1)).alias("n"), F.sum("doc_len").alias("t")
-    ).first()
-    stats.update(
-        n_docs=int(row.n),
-        total_tokens=int(row.t or 0),
-        avgdl=(int(row.t or 0) / int(row.n)) if row.n else 0.0,
-        run_id=run_id,
-        input_snapshot=input_snapshot,
-    )
-
-    # rebuild only the affected shards (postings + doclen partitions)
+def _rebuild_shards(spark, root: str, affected, n_shards: int,
+                    run_id: str, input_snapshot: str) -> None:
+    """Re-encode postings + doclen partitions for the given shards from the
+    CURRENT docs table. Idempotent (deterministic encode), so safe to re-run
+    during crash recovery."""
     from ..text.tokenizer import tokenize_udf
 
+    docs_df = spark.read.parquet(os.path.join(root, "docs"))
     sh = shard_of(F.col("doc_id"), n_shards)
-    docs_aff = docs_df.where(sh.isin(affected))
+    docs_aff = docs_df.where(sh.isin(list(affected)))
     docs_tok = docs_aff.withColumn("tokens", tokenize_udf(F.col("text")))
     tf = build_tf(docs_tok).withColumn("shard", shard_of(F.col("doc_id"), n_shards))
     dl = docs_aff.select(F.col("doc_id").alias("dl_doc_id"), "doc_len").withColumn(
@@ -317,10 +257,14 @@ def update_index(
             .applyInPandas(_encode_no_shard, seg_schema)
         )
         path = _seg_path(root, seg)
+        tmp_path = path + ".tmp"
+        shutil.rmtree(tmp_path, ignore_errors=True)
+        out.write.mode("overwrite").parquet(tmp_path)
         shutil.rmtree(path, ignore_errors=True)
-        out.write.mode("overwrite").parquet(path)
+        os.rename(tmp_path, path)
         dl_path = os.path.join(root, "doclen", f"shard={seg}")
         dl_tmp = dl_path + ".tmp"
+        shutil.rmtree(dl_tmp, ignore_errors=True)
         (
             dl.where(F.col("shard") == seg)
             .select(F.col("dl_doc_id").alias("doc_id"), "doc_len")
@@ -329,12 +273,12 @@ def update_index(
             .parquet(dl_tmp)
         )
         shutil.rmtree(dl_path, ignore_errors=True)
-        os.replace(dl_tmp, dl_path)
+        os.rename(dl_tmp, dl_path)
         _append_lineage(
             root,
             {
                 "run_id": run_id,
-                "segment_id": seg,
+                "segment_id": int(seg),
                 "input_snapshot": input_snapshot,
                 "n_docs": int(dl.where(F.col("shard") == seg).count()),
                 "n_postings": None,
@@ -345,7 +289,25 @@ def update_index(
             },
         )
 
-    # dictionary: df must reflect ALL shards (cheap block-metadata agg)
+
+def _refresh_stats_terms(spark, root: str, run_id: str, input_snapshot: str) -> dict:
+    """Recompute global stats (exact-int avgdl) and the dictionary from the
+    current docs table + posting block metadata. Idempotent."""
+    with open(os.path.join(root, "stats.json")) as f:
+        stats = json.load(f)
+    docs_df = spark.read.parquet(os.path.join(root, "docs"))
+    row = docs_df.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("doc_len").alias("t")
+    ).first()
+    stats.update(
+        n_docs=int(row.n),
+        total_tokens=int(row.t or 0),
+        avgdl=(int(row.t or 0) / int(row.n)) if row.n else 0.0,
+        run_id=run_id,
+        input_snapshot=input_snapshot,
+    )
+    terms_tmp = os.path.join(root, "terms.tmp")
+    shutil.rmtree(terms_tmp, ignore_errors=True)
     (
         spark.read.option("basePath", os.path.join(root, "postings"))
         .parquet(os.path.join(root, "postings"))
@@ -356,12 +318,133 @@ def update_index(
         )
         .coalesce(4)
         .write.mode("overwrite")
-        .parquet(os.path.join(root, "terms"))
+        .parquet(terms_tmp)
     )
+    terms_path = os.path.join(root, "terms")
+    shutil.rmtree(terms_path, ignore_errors=True)
+    os.rename(terms_tmp, terms_path)
     tmp = os.path.join(root, "stats.json.tmp")
     with open(tmp, "w") as f:
         json.dump(stats, f)
     os.replace(tmp, os.path.join(root, "stats.json"))
+    return stats
+
+
+def _update_marker(root: str) -> str:
+    return os.path.join(root, "update.json")
+
+
+def recover_update(spark: SparkSession, root: str) -> bool:
+    """Crash recovery for an interrupted update_index. Returns True if a
+    recovery was performed.
+
+    - docs dir missing: roll the docs swap forward (docs.tmp present) or back
+      (docs.old present).
+    - marker present: re-run the affected-shard rebuild + stats/terms refresh
+      against the CURRENT docs table. If the crash happened before the docs
+      swap, this re-encodes identical bytes (deterministic) — a consistent
+      pre-update state; after the swap, it completes the update.
+    """
+    docs_path = os.path.join(root, "docs")
+    docs_tmp = docs_path + ".tmp"
+    docs_old = docs_path + ".old"
+    marker = _update_marker(root)
+    recovered = False
+    if not os.path.exists(docs_path):
+        if os.path.exists(docs_tmp):
+            os.rename(docs_tmp, docs_path)  # roll forward to merged docs
+        elif os.path.exists(docs_old):
+            os.rename(docs_old, docs_path)  # roll back to previous docs
+        else:
+            raise FileNotFoundError(f"index at {root} has no docs table")
+        recovered = True
+    if os.path.exists(marker):
+        with open(marker) as f:
+            mk = json.load(f)
+        _rebuild_shards(
+            spark, root, mk["affected"], int(mk["n_shards"]),
+            mk["run_id"], mk["input_snapshot"],
+        )
+        _refresh_stats_terms(spark, root, mk["run_id"], mk["input_snapshot"])
+        os.remove(marker)
+        recovered = True
+    shutil.rmtree(docs_old, ignore_errors=True)
+    shutil.rmtree(docs_tmp, ignore_errors=True)
+    return recovered
+
+
+def update_index(
+    spark: SparkSession,
+    root: str,
+    new_pages: DataFrame,
+    run_id: str = "run2",
+    input_snapshot: str = "snap2",
+) -> PhysicalIndex:
+    """Incremental index update: re-index only what changed.
+
+    1. classify the snapshot against the existing docs table
+       (ExistState semantics — skip ExistSame/ExistNewer);
+    2. merge the docs table (crash-safe swap: tmp write → marker → renames,
+       with recover_update rolling an interrupted swap forward or back);
+    3. rebuild postings ONLY for the doc-range shards that contain changed
+       docs — untouched shards' blocks stay valid because block bounds are
+       stats-independent (max_tf, min_dl; see codec.py);
+    4. refresh doclen for affected shards, global stats, and the dictionary
+       (df per term re-derived from block metadata across ALL shards).
+
+    The result is rank-identical to a full rebuild over the merged corpus;
+    a kill at ANY point leaves the index recoverable via recover_update
+    (invoked automatically on the next update_index call) — both verified in
+    tests.
+    """
+    recover_update(spark, root)
+
+    with open(os.path.join(root, "stats.json")) as f:
+        stats = json.load(f)
+    n_shards = int(stats["n_shards"])
+    docs_path = os.path.join(root, "docs")
+    old_docs = spark.read.parquet(docs_path)
+
+    changed_pages = incremental_pages(new_pages, old_docs)
+    changed_docs, errors = build_docs_safe(changed_pages)
+    changed_docs = changed_docs.drop("tokens").persist()
+    if changed_docs.count() == 0:
+        changed_docs.unpersist()
+        return PhysicalIndex(root=root, stats=stats)
+    errors.write.mode("append").parquet(os.path.join(root, "errors"))
+
+    affected = sorted(
+        int(r.s)
+        for r in changed_docs.select(
+            shard_of(F.col("doc_id"), n_shards).alias("s")
+        ).distinct().collect()
+    )
+
+    # merged docs table → tmp; then marker; then the two renames. Every
+    # crash window is covered by recover_update (see its docstring).
+    merged = old_docs.join(
+        changed_docs.select("url"), "url", "left_anti"
+    ).unionByName(changed_docs)
+    docs_tmp = docs_path + ".tmp"
+    merged.write.mode("overwrite").parquet(docs_tmp)
+    changed_docs.unpersist()
+
+    marker = _update_marker(root)
+    mk_tmp = marker + ".tmp"
+    with open(mk_tmp, "w") as f:
+        json.dump({"affected": affected, "n_shards": n_shards,
+                   "run_id": run_id, "input_snapshot": input_snapshot}, f)
+    os.replace(mk_tmp, marker)
+
+    docs_old = docs_path + ".old"
+    shutil.rmtree(docs_old, ignore_errors=True)
+    os.rename(docs_path, docs_old)
+    os.rename(docs_tmp, docs_path)
+
+    _rebuild_shards(spark, root, affected, n_shards, run_id, input_snapshot)
+    stats = _refresh_stats_terms(spark, root, run_id, input_snapshot)
+    os.remove(marker)
+    shutil.rmtree(docs_old, ignore_errors=True)
     return PhysicalIndex(root=root, stats=stats)
 
 

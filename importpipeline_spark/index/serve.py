@@ -63,8 +63,26 @@ class LocalSearcher:
                     columns=["doc_id", "doc_len"],
                 )
             )
-        post = pd.concat([p for p in posts if not p.empty], ignore_index=True)
-        dl = pd.concat([d for d in dls if not d.empty], ignore_index=True)
+        posts = [p for p in posts if not p.empty]
+        dls = [d for d in dls if not d.empty]
+        if not posts or not dls:
+            # empty index: construct a searcher that answers [] (parity with
+            # the distributed path's n_docs==0 guard)
+            self._min_u = np.empty(0, dtype=np.uint64)
+            self._max_u = np.empty(0, dtype=np.uint64)
+            self._ns = np.empty(0, dtype=np.int64)
+            self._docs_enc = np.empty(0, dtype=object)
+            self._tfs_enc = np.empty(0, dtype=object)
+            self._max_tf = np.empty(0, dtype=np.float64)
+            self._min_dl = np.empty(0, dtype=np.float64)
+            self._t_start, self._t_end = {}, {}
+            self._dl_u = np.empty(0, dtype=np.uint64)
+            self._dl_v = np.empty(0, dtype=np.float64)
+            self._df = {}
+            self._raw_cache = {}
+            return
+        post = pd.concat(posts, ignore_index=True)
+        dl = pd.concat(dls, ignore_index=True)
 
         term_arr = post["term"].to_numpy(dtype=object)
         order = np.argsort(term_arr, kind="stable")  # stable: doc order kept per term

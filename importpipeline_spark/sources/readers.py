@@ -53,9 +53,13 @@ def read_csv(
         opts["comment"] = comment
     df = spark.read.options(**opts).csv(path)
     if startat > 0:
-        # startat row offset: monotonic id over input order at read time
+        # startat is defined in FILE order (CsvDatasource.cs semantics), which
+        # only exists within a single partition: collapse to one partition
+        # before numbering (startat is a small-config-file construct; large
+        # inputs shouldn't use it)
         df = (
-            df.withColumn("__rid", F.monotonically_increasing_id())
+            df.coalesce(1)
+            .withColumn("__rid", F.monotonically_increasing_id())
             .where(F.col("__rid") >= startat)
             .drop("__rid")
         )

@@ -39,8 +39,12 @@ _FOLD_TABLE.update(
 
 @lru_cache(maxsize=1)
 def _mn_regex() -> re.Pattern:
-    """Regex matching every BMP NonSpacingMark codepoint (pinned spec v1)."""
-    chars = [chr(c) for c in range(0x10000) if unicodedata.category(chr(c)) == "Mn"]
+    """Regex matching every NonSpacingMark codepoint (full Unicode range, so
+    the vectorized path strips exactly what strip_diacritics_scalar strips —
+    astral Mn marks included). Built once per process (~1s), cached."""
+    chars = [
+        chr(c) for c in range(0x110000) if unicodedata.category(chr(c)) == "Mn"
+    ]
     return re.compile("[" + "".join(re.escape(c) for c in chars) + "]")
 
 

@@ -54,6 +54,16 @@ def test_edge_cases_differential():
         _check(h)
 
 
+def test_script_near_close_matches_stdlib():
+    # '</scriptx>' is NOT an end tag for <script>: stdlib keeps it as data;
+    # the fast path must agree or bail (never leak script content)
+    html = "<body><p>x</p><script>var a=1;</scriptx> LEAKED </script><p>y</p></body>"
+    assert H.extract_text(html) == "x y"
+    _check(html)  # equal DOM or fast-path bail — both acceptable
+    # exact close with whitespace still terminates
+    _check("<p>a</p><script>s</script ><p>b</p>")
+
+
 def test_fuzz_differential():
     rng = random.Random(17)
     pieces = [

@@ -84,6 +84,66 @@ def test_dictionary_matches_full_rebuild(indexes, spark):
     assert ta == tb
 
 
+def test_crash_recovery_mid_update(spark, tmp_path):
+    """Kill at the worst windows of update_index → recover_update restores a
+    consistent index; re-applying the snapshot completes the update and
+    matches a full rebuild."""
+    import json
+    import os
+    import shutil
+
+    from importpipeline_spark.index.segments import recover_update
+
+    root = str(tmp_path / "crashidx")
+    snap1 = gen_pages_df(spark, 200, seed=42, partitions=4)
+    write_index(spark, snap1, root, n_shards=4)
+    snap2 = gen_pages_df(spark, 230, seed=42, partitions=4)
+
+    # window A: crash right after the docs swap + marker (postings stale)
+    # simulate: do the merge/swap by hand the way update_index orders it
+    docs = os.path.join(root, "docs")
+    changed = snap2.join(
+        spark.read.parquet(docs).select("url"), "url", "left_anti"
+    )
+    from importpipeline_spark.index.build import build_docs_safe, shard_of
+    from pyspark.sql import functions as F
+
+    cdocs, _ = build_docs_safe(changed)
+    cdocs = cdocs.drop("tokens")
+    affected = sorted(
+        int(r.s)
+        for r in cdocs.select(shard_of(F.col("doc_id"), 4).alias("s"))
+        .distinct().collect()
+    )
+    merged = spark.read.parquet(docs).unionByName(cdocs)
+    merged.write.mode("overwrite").parquet(docs + ".tmp")
+    with open(os.path.join(root, "update.json"), "w") as f:
+        json.dump({"affected": affected, "n_shards": 4,
+                   "run_id": "crash", "input_snapshot": "snap2"}, f)
+    os.rename(docs, docs + ".old")
+    os.rename(docs + ".tmp", docs)
+    # --- "crash" here: docs merged, marker present, postings stale ---
+    assert recover_update(spark, root)
+    assert not os.path.exists(os.path.join(root, "update.json"))
+
+    # recovered index must equal a full rebuild over snap2
+    full_root = str(tmp_path / "fullidx")
+    pidx_full = write_index(spark, snap2, full_root, n_shards=4)
+    from importpipeline_spark.index.store import open_index
+
+    pidx_rec = open_index(root)
+    assert pidx_rec.stats["n_docs"] == pidx_full.stats["n_docs"] == 230
+    for q in ("the", "of and", "ebakaba8"):
+        a = bm25_topk_wand(spark, pidx_rec, q, k=10).collect()
+        b = bm25_topk_wand(spark, pidx_full, q, k=10).collect()
+        assert [(r.doc_id, r.score) for r in a] == [(r.doc_id, r.score) for r in b]
+
+    # window B: docs dir missing mid-rename → rolled forward from tmp
+    os.rename(docs, docs + ".tmp")
+    assert recover_update(spark, root)
+    assert os.path.exists(docs)
+
+
 def test_noop_update(indexes, spark):
     pidx_inc, _ = indexes
     # re-applying the same snapshot changes nothing (all ExistSame)

@@ -234,6 +234,33 @@ def test_epoch_seconds_parse(spark):
     assert r.ts is not None and r.ts.year == 2023
 
 
+def test_to_long_int64_exact(spark):
+    from importpipeline_spark.functions.converters import to_long
+
+    df = spark.createDataFrame(
+        [("9007199254740993", "1,234", "12.9")], "big string, grp string, dec string"
+    )
+    r = df.select(
+        to_long(F.col("big")).alias("b"),
+        to_long(F.col("grp")).alias("g"),
+        to_long(F.col("dec")).alias("d"),
+    ).first()
+    assert r.b == 9007199254740993  # > 2^53: double round-trip would corrupt
+    assert r.g == 1234
+    assert r.d == 12
+
+
+def test_analyzer_astral_mn_parity():
+    from importpipeline_spark.text.tokenizer import tokenize_scalar, tokenize_series
+    import pandas as pd
+
+    # U+1D167 MUSICAL SYMBOL COMBINING TREMOLO-1 is Mn outside the BMP:
+    # index-side (vectorized) and query-side (scalar) must agree
+    s = "a\U0001D167b café"
+    assert tokenize_scalar(s) == list(tokenize_series(pd.Series([s]))[0])
+    assert tokenize_scalar(s) == ["ab", "cafe"]
+
+
 def test_html_url_encode_decode(spark):
     from importpipeline_spark.functions.converters import (
         html_decode_udf,
