@@ -5,9 +5,12 @@ training-data op the engine adds) through the importpipeline_spark package;
 ``oracle_sql()`` holds the DuckDB-equivalent ANSI SQL. Column names/aliases
 match exactly on both sides; float outputs are rounded identically.
 
-Entries without an oracle (minhash_lsh_dups, simhash_pairs, ann_lsh_topk,
-multimodal_meta) are non-SQL-expressible (hash/LSH internals differ between
-engines); they get rows-only checks here and full verification in tests/.
+Every queries() entry has a DuckDB oracle. The LSH-family entries (minhash,
+simhash, ANN) are oracled as invariants: minhash at rows-per-band=1 must
+reproduce the exact n-gram Jaccard pair set; simhash and ANN emit the
+SQL-recomputable truth set (planted near-dups / brute-force top-k) annotated
+with a found flag the oracle requires to be 1 — a recall regression turns a
+row red rather than hiding behind a rows-only check.
 """
 
 from __future__ import annotations
@@ -57,6 +60,17 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _rank_bounded(df: DataFrame, *order, col: str = "rank") -> DataFrame:
+    """Rank a deliberately-bounded DataFrame (≤k rows, post-limit).
+
+    partitionBy(lit(0)) is a constant key: the input is already ≤k rows by
+    construction (TakeOrderedAndProject upstream), so the single partition is
+    intentional and bounded — this just keeps WindowExec from warning about a
+    plan that cannot grow with the data."""
+    w = Window.partitionBy(F.lit(0)).orderBy(*order)
+    return df.withColumn(col, F.row_number().over(w).cast("long"))
+
+
 # ---------------------------------------------------------------- queries --
 
 def q_mapreduce_undup_agg(spark, sf_dir):
@@ -93,10 +107,9 @@ def q_topk_orders(spark, sf_dir):
         keys=[SortKey("o_totalprice", "double", descending=True), SortKey("o_orderkey", "long")],
         n=10,
     )
-    w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
-    return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
-        "rank", "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice")
-    )
+    return _rank_bounded(
+        top, F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    ).select("rank", "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"))
 
 
 def q_topk_per_group(spark, sf_dir):
@@ -234,11 +247,12 @@ def q_term_freq_top20(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     terms = docs.select(F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term"))
     agg = terms.groupBy("term").agg(F.count(F.lit(1)).alias("freq"))
-    w = Window.orderBy(F.col("freq").desc(), F.col("term").asc())
-    return (
-        agg.withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= 20)
-        .select("rank", "term", "freq")
+    # top-20 via TakeOrderedAndProject FIRST (never a global window over the
+    # whole vocabulary — that's a single-partition sort of the dictionary at
+    # scale); the rank window then sees ≤ 20 rows
+    top = agg.orderBy(F.col("freq").desc(), F.col("term").asc()).limit(20)
+    return _rank_bounded(top, F.col("freq").desc(), F.col("term").asc()).select(
+        "rank", "term", "freq"
     )
 
 
@@ -278,8 +292,7 @@ def q_cosine_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).first().embedding]
     out = cosine_topk_bruteforce(emb.where(F.col("vec_id") != 0), qvec, k=10)
-    w = Window.orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
-    return out.withColumn("rank", F.row_number().over(w).cast("long")).select(
+    return _rank_bounded(out, F.col("cosine").desc(), F.col("vec_id").asc()).select(
         "rank", "vec_id", F.round("cosine", 4).alias("cosine")
     )
 
@@ -364,11 +377,11 @@ def q_bm25_topk_docs(spark, sf_dir):
         )
     )
     scored = contrib.groupBy("doc_id").agg(F.sum("c").alias("score"))
-    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= BM25_K)
-        .select("rank", "doc_id", F.round("score", 4).alias("score"))
+    # top-k via TakeOrderedAndProject FIRST (never a global window over every
+    # matching doc); the rank window then sees ≤ k rows
+    top = scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(BM25_K)
+    return _rank_bounded(top, F.col("score").desc(), F.col("doc_id").asc()).select(
+        "rank", "doc_id", F.round("score", 4).alias("score")
     )
 
 
@@ -404,12 +417,13 @@ def q_replace_converter(spark, sf_dir):
     )
 
 
-# ---- rows-only entries (no SQL oracle; verified in tests/) ----
+# ---- formerly rows-only entries, now fully oracled ----
 
 
 def q_abstract_snippets(spark, sf_dir):
-    """GetAbstractFromText snippets (HtmlProcessor.cs:222-265) — algorithm is
-    golden-tested in tests/; rows-only here (not SQL-expressible tersely)."""
+    """GetAbstractFromText snippets (HtmlProcessor.cs:222-265) through the
+    Arrow UDF; the DuckDB oracle re-derives the sentence/word-boundary cut
+    with position scans over the same character classes."""
     from importpipeline_spark.html.udfs import make_abstract_udf
 
     docs = _t(spark, sf_dir, "documents")
@@ -417,33 +431,79 @@ def q_abstract_snippets(spark, sf_dir):
         "doc_id", make_abstract_udf(100, 20)(F.col("text")).alias("abstract")
     )
 
+
 def q_minhash_lsh_dups(spark, sf_dir):
+    """MinHash LSH near-dup pairs, parameterized at rows-per-band=1 (32
+    single-hash bands): a candidate is any pair sharing ANY minhash value, so
+    the miss probability for jaccard ≥ 0.5 is ≤ (1−0.5)^32 ≈ 2e-10 and the
+    verified output equals the exact n-gram Jaccard pair set — which is the
+    DuckDB oracle. Recall/precision of the banded (r>1) configurations are
+    covered in tests/test_dedup_similarity.py."""
     base = _docs_with_dups(spark, sf_dir)
-    return minhash_lsh_pairs(base, "text", "doc_id", n=3, num_hashes=32, bands=8,
+    return minhash_lsh_pairs(base, "text", "doc_id", n=3, num_hashes=32, bands=32,
                              threshold=0.5).select(
         "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
     )
 
 
 def q_simhash_pairs(spark, sf_dir):
+    """SimHash recall invariant: every planted near-duplicate pair (one-token
+    mutation or exact copy) MUST be detected at hamming ≤ 8 with 16×4-bit
+    pigeonhole blocking (blocking is deterministic-complete for hamming ≤ 15,
+    so a found=0 row means the simhash itself drifted). The oracle is the
+    planted pair set with found=1 everywhere."""
     base = _docs_with_dups(spark, sf_dir)
-    return simhash_pairs(base, "text", "doc_id", max_hamming=8)
+    detected = simhash_pairs(base, "text", "doc_id", max_hamming=8, n_bands=16)
+    docs = _t(spark, sf_dir, "documents")
+    mut = docs.where(F.col("doc_id") < 25).select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + F.lit(1000000)).alias("id_b"),
+    )
+    ex = docs.where((F.col("doc_id") >= 25) & (F.col("doc_id") < 50)).select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + F.lit(2000000)).alias("id_b"),
+    )
+    truth = mut.unionByName(ex)
+    return truth.join(
+        detected.select("id_a", "id_b", F.lit(1).alias("found")),
+        ["id_a", "id_b"],
+        "left",
+    ).select(
+        "id_a", "id_b", F.coalesce("found", F.lit(0)).cast("long").alias("found")
+    )
 
 
 def q_ann_lsh_topk(spark, sf_dir):
+    """ANN recall invariant: the multi-probe hyperplane-LSH top-10 must equal
+    the brute-force cosine top-10 on this corpus. Output = the exact top-10
+    (rank, vec_id, cosine — SQL-recomputable) + found flag from the ANN path;
+    the oracle expects found=1 on every row."""
     emb = _t(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).first().embedding]
-    return cosine_topk_lsh(
-        spark, emb.where(F.col("vec_id") != 0), qvec, k=10, n_planes=6, n_tables=6
-    ).select("vec_id", F.round("cosine", 4).alias("cosine"))
+    rest = emb.where(F.col("vec_id") != 0)
+    bf = cosine_topk_bruteforce(rest, qvec, k=10)
+    ann = cosine_topk_lsh(
+        spark, rest, qvec, k=10, n_planes=4, n_tables=8, multiprobe=True
+    )
+    top = _rank_bounded(bf, F.col("cosine").desc(), F.col("vec_id").asc())
+    return top.join(
+        ann.select("vec_id", F.lit(1).alias("found")), "vec_id", "left"
+    ).select(
+        "rank",
+        "vec_id",
+        F.round("cosine", 4).alias("cosine"),
+        F.coalesce("found", F.lit(0)).cast("long").alias("found"),
+    )
 
 
 def q_multimodal_meta(spark, sf_dir):
     """Multimodal plumbing: documents → opaque binary payload + typed
-    metadata via the stubbed decode path (operators/multimodal.py)."""
+    metadata via the stubbed decode path (operators/multimodal.py). The
+    payload layout (8-byte magic + UTF-8 bytes) and md5 content hash are
+    recomputed independently by the DuckDB oracle."""
     from importpipeline_spark.operators.multimodal import attach_fake_payload, extract_meta
 
-    docs = _t(spark, sf_dir, "documents").limit(200)
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
     with_bin = attach_fake_payload(docs, "text")
     return extract_meta(with_bin).select("doc_id", "n_bytes", "mime", "payload_hash")
 
@@ -499,6 +559,31 @@ _DOCS_WITH_DUPS_SQL = """
     )
 """
 
+# exact word-3-gram Jaccard pair set at threshold 0.5 — the oracle for BOTH
+# ngram_jaccard and minhash_lsh_dups (minhash at rows-per-band=1 plus exact
+# verification must reproduce this set exactly)
+_NGRAM_JACCARD_SQL = _DOCS_WITH_DUPS_SQL + """
+    , sh AS (
+        SELECT doc_id, list_distinct(list_transform(
+            generate_series(1, len(regexp_split_to_array(trim(text), '\\s+')) - 2),
+            i -> array_to_string(regexp_split_to_array(trim(text), '\\s+')[i:i+2], ' ')
+        )) AS shingles
+        FROM base
+        WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 3
+    ),
+    ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS s FROM sh),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS na, b.n_sh AS nb,
+               COUNT(*) AS common
+        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3, 4
+    )
+    SELECT id_a, id_b,
+           ROUND(CAST(common AS DOUBLE) / (na + nb - common), 4) AS jaccard
+    FROM inter
+    WHERE CAST(common AS DOUBLE) / (na + nb - common) >= 0.5
+"""
+
 
 def oracle_sql() -> dict[str, str]:
     return {
@@ -507,7 +592,7 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(l_quantity), 2) AS sum_qty,
                    MIN(l_quantity) AS min_qty,
                    MAX(l_quantity) AS max_qty,
-                   CAST(FLOOR(SUM(CAST(l_quantity AS BIGINT)) / COUNT(l_quantity)) AS BIGINT) AS mean_qty_int,
+                   CAST(FLOOR(SUM(CAST(TRUNC(l_quantity) AS BIGINT)) / COUNT(l_quantity)) AS BIGINT) AS mean_qty_int,
                    COUNT(*) AS cnt
             FROM lineitem GROUP BY l_returnflag, l_linestatus
         """,
@@ -529,7 +614,7 @@ def oracle_sql() -> dict[str, str]:
         "unique_first_event": """
             SELECT user_id, event_id, event_type, ts FROM (
                 SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
-                    ORDER BY ts ASC, event_id ASC) AS rn
+                    ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST) AS rn
                 FROM events
             ) WHERE rn = 1
         """,
@@ -563,9 +648,9 @@ def oracle_sql() -> dict[str, str]:
             WITH ranked AS (
                 SELECT user_id, event_type,
                        ROW_NUMBER() OVER (PARTITION BY user_id
-                           ORDER BY ts ASC, event_id ASC) AS rn_a,
+                           ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST) AS rn_a,
                        ROW_NUMBER() OVER (PARTITION BY user_id
-                           ORDER BY ts DESC, event_id DESC) AS rn_d
+                           ORDER BY ts DESC NULLS LAST, event_id DESC NULLS LAST) AS rn_d
                 FROM events
             ), agg AS (
                 SELECT user_id,
@@ -614,26 +699,60 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5(text) AS digest, COUNT(*) AS n, MIN(doc_id) AS keep_id
             FROM base GROUP BY md5(text) HAVING COUNT(*) > 1
         """,
-        "ngram_jaccard": _DOCS_WITH_DUPS_SQL + """
-            , sh AS (
-                SELECT doc_id, list_distinct(list_transform(
-                    generate_series(1, len(regexp_split_to_array(trim(text), '\\s+')) - 2),
-                    i -> array_to_string(regexp_split_to_array(trim(text), '\\s+')[i:i+2], ' ')
-                )) AS shingles
-                FROM base
-                WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 3
+        "ngram_jaccard": _NGRAM_JACCARD_SQL,
+        # minhash at rows-per-band=1 (32 single-hash bands) + exact-Jaccard
+        # verification must reproduce the exact pair set — same oracle
+        "minhash_lsh_dups": _NGRAM_JACCARD_SQL,
+        "abstract_snippets": """
+            WITH cand AS (
+                SELECT doc_id, i, substring(text, i+1, 1) AS ch
+                FROM documents, UNNEST(range(80, 120)) AS t(i)
+                WHERE length(text) > 120
             ),
-            ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS s FROM sh),
-            inter AS (
-                SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS na, b.n_sh AS nb,
-                       COUNT(*) AS common
-                FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
-                GROUP BY 1, 2, 3, 4
+            best AS (
+                SELECT doc_id,
+                    min_by(i, abs(100-i)*1000 + i)
+                        FILTER (WHERE ch IN ('.','?','!')) AS bs,
+                    min_by(i, abs(100-i)*1000 + i)
+                        FILTER (WHERE ch IN (' ',';',',',':',chr(13),chr(10),chr(9))) AS bw
+                FROM cand GROUP BY doc_id
             )
-            SELECT id_a, id_b,
-                   ROUND(CAST(common AS DOUBLE) / (na + nb - common), 4) AS jaccard
-            FROM inter
-            WHERE CAST(common AS DOUBLE) / (na + nb - common) >= 0.5
+            SELECT d.doc_id,
+                CASE WHEN length(d.text) <= 120 THEN d.text
+                     ELSE substring(d.text, 1, COALESCE(b.bs, b.bw, 99))
+                          || ' ' || chr(8230)
+                END AS abstract
+            FROM documents d LEFT JOIN best b USING (doc_id)
+        """,
+        "simhash_pairs": """
+            WITH truth AS (
+                SELECT doc_id AS id_a, doc_id + 1000000 AS id_b
+                FROM documents WHERE doc_id < 25
+                UNION ALL
+                SELECT doc_id AS id_a, doc_id + 2000000 AS id_b
+                FROM documents WHERE doc_id >= 25 AND doc_id < 50
+            )
+            SELECT id_a, id_b, CAST(1 AS BIGINT) AS found FROM truth
+        """,
+        "ann_lsh_topk": """
+            WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+            scored AS (
+                SELECT vec_id,
+                       list_cosine_similarity(
+                           CAST(embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])) AS cosine
+                FROM embeddings, q WHERE vec_id != 0
+            )
+            SELECT ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id ASC) AS rank,
+                   vec_id, ROUND(cosine, 4) AS cosine,
+                   CAST(1 AS BIGINT) AS found
+            FROM scored ORDER BY cosine DESC, vec_id ASC LIMIT 10
+        """,
+        "multimodal_meta": """
+            SELECT doc_id,
+                   CAST(8 + octet_length(encode(text)) AS INT) AS n_bytes,
+                   'image/x-fake' AS mime,
+                   substring(md5('FAKEIMG1' || text), 1, 16) AS payload_hash
+            FROM documents WHERE doc_id < 200
         """,
         "cosine_topk": """
             WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),

@@ -71,8 +71,10 @@ def varint_decode(buf: bytes, count: int | None = None) -> np.ndarray:
     starts = np.concatenate(([0], ends[:-1] + 1))
     lengths = ends - starts + 1
     n = len(ends)
-    if count is not None:
-        assert n == count, f"varint stream has {n} values, expected {count}"
+    if count is not None and n != count:
+        # hard error (not assert: stripped under python -O) — a truncated or
+        # corrupt postings buffer must fail loudly, never silently mis-score
+        raise ValueError(f"varint stream has {n} values, expected {count}")
     vals = np.zeros(n, dtype=np.uint64)
     for k in range(int(lengths.max())):
         mask = lengths > k

@@ -43,8 +43,9 @@ from .codec import BLOCK_SIZE
 from .store import POSTINGS_SCHEMA, PhysicalIndex, _encode_shard
 
 SEGMENTS_SCHEMA = (
-    "run_id string, segment_id int, input_snapshot string, n_postings long, "
-    "status string, started_ts timestamp, finished_ts timestamp"
+    "run_id string, segment_id int, input_snapshot string, n_docs long, "
+    "n_postings long, status string, started_ts timestamp, "
+    "finished_ts timestamp, metrics map<string,long>"
 )
 
 
@@ -62,10 +63,16 @@ def read_lineage(spark: SparkSession, root: str) -> DataFrame | None:
         f.endswith(".json") for f in os.listdir(p)
     ):
         return None
-    return spark.read.json(p)
+    # explicit schema: per-segment counters + metrics map (mirrors
+    # DatasourceReport — ImportReport.cs:92-209)
+    return spark.read.schema(SEGMENTS_SCHEMA).json(p)
 
 
-def _finished_segments(root: str) -> set[int]:
+def _finished_segments(root: str, input_snapshot: str | None = None) -> set[int]:
+    """Segment ids whose lineage row says status=ok — restricted to rows built
+    from the SAME input_snapshot when one is given. A lineage row from a
+    different snapshot must not be treated as done: resuming over different
+    input would otherwise silently produce a mixed stale/fresh index."""
     p = _seg_dir(root)
     done = set()
     if not os.path.exists(p):
@@ -74,8 +81,11 @@ def _finished_segments(root: str) -> set[int]:
         if f.endswith(".json"):
             with open(os.path.join(p, f)) as fh:
                 row = json.load(fh)
-            if row.get("status") == "ok":
-                done.add(int(row["segment_id"]))
+            if row.get("status") != "ok":
+                continue
+            if input_snapshot is not None and row.get("input_snapshot") != input_snapshot:
+                continue
+            done.add(int(row["segment_id"]))
     return done
 
 
@@ -109,6 +119,15 @@ def build_index_resumable(
     stats_path = os.path.join(root, "stats.json")
     docs_path = os.path.join(root, "docs")
     phase_a_done = os.path.exists(stats_path) and os.path.exists(docs_path)
+    if phase_a_done:
+        with open(stats_path) as f:
+            prev = json.load(f)
+        if prev.get("input_snapshot") != input_snapshot:
+            raise ValueError(
+                f"index at {root} was built from input_snapshot="
+                f"{prev.get('input_snapshot')!r}, not {input_snapshot!r}; "
+                "use update_index for incremental changes or a fresh root"
+            )
 
     if not phase_a_done:
         docs, errors = build_docs_safe(pages)
@@ -144,8 +163,9 @@ def build_index_resumable(
     with open(stats_path) as f:
         stats = json.load(f)
 
-    # phase B: per-segment postings (segment == doc-range shard)
-    done = _finished_segments(root)
+    # phase B: per-segment postings (segment == doc-range shard); only
+    # segments recorded ok FOR THIS INPUT SNAPSHOT count as finished
+    done = _finished_segments(root, input_snapshot)
     docs_df = spark.read.parquet(docs_path)
     # tf is recomputed from the persisted docs' text (docs parquet drops the
     # tokens column to stay lean; tokens are cheap to rebuild and phase B
@@ -408,10 +428,13 @@ def update_index(
     changed_pages = incremental_pages(new_pages, old_docs)
     changed_docs, errors = build_docs_safe(changed_pages)
     changed_docs = changed_docs.drop("tokens").persist()
+    # quarantine records are appended BEFORE the no-change early return:
+    # if every changed page failed extraction, changed_docs is empty but the
+    # errors still belong in <root>/errors/
+    errors.write.mode("append").parquet(os.path.join(root, "errors"))
     if changed_docs.count() == 0:
         changed_docs.unpersist()
         return PhysicalIndex(root=root, stats=stats)
-    errors.write.mode("append").parquet(os.path.join(root, "errors"))
 
     affected = sorted(
         int(r.s)

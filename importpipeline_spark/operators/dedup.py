@@ -205,15 +205,25 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
 
 
 def simhash_pairs(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 8
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 8,
+    n_bands: int = 4,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance ≤ max_hamming.
 
-    Candidate generation: 4×16-bit band blocking (two codes within hamming 8
-    of 64 bits share at least one exact 16-bit band when distance ≤ bands-1·…;
-    with 4 bands, distance ≤ 3 guarantees a shared band; larger radii are
-    heuristic recall — the standard pigeonhole blocking).
+    Candidate generation: pigeonhole band blocking over ``n_bands`` equal
+    bit-slices of the 64-bit code — two codes within hamming ≤ n_bands−1
+    are GUARANTEED to share at least one exact band (some band holds none of
+    the flipped bits); for larger radii recall is heuristic. Pick
+    n_bands > max_hamming for deterministic recall (narrower bands = bigger
+    buckets = more candidates — the standard precision/recall dial).
     """
+    if 64 % n_bands:
+        raise ValueError("n_bands must divide 64")
+    width = 64 // n_bands
+    band_mask = (1 << width) - 1
     sh = simhash(df, text_col, id_col)
     bands = sh.select(
         "id",
@@ -221,8 +231,10 @@ def simhash_pairs(
         F.posexplode(
             F.array(
                 *[
-                    F.shiftright(F.col("simhash"), b * 16).bitwiseAND(F.lit(0xFFFF))
-                    for b in range(4)
+                    F.shiftrightunsigned(F.col("simhash"), b * width).bitwiseAND(
+                        F.lit(band_mask)
+                    )
+                    for b in range(n_bands)
                 ]
             )
         ).alias("band", "bucket"),

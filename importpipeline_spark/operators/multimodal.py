@@ -46,7 +46,7 @@ def decode_image_stub(payload: bytes, fake: bool = True):
             "image decode requires an image library (PIL/cv2) not present in "
             "this environment; plumbing is exercised with fake=True"
         )
-    h = hashlib.sha1(payload).digest()
+    h = hashlib.md5(payload).digest()
     return 16 + h[0] % 64, 16 + h[1] % 64
 
 
@@ -59,8 +59,10 @@ def extract_meta(df: DataFrame) -> DataFrame:
         for pdf in batches:
             payloads = pdf["payload"]
             n_bytes = payloads.map(lambda b: len(b) if b is not None else 0)
+            # md5 (not sha1): an external SQL engine (DuckDB) can recompute it
+            # over the same bytes, so the contract oracle verifies the hash
             phash = payloads.map(
-                lambda b: hashlib.sha1(bytes(b)).hexdigest()[:16] if b is not None else None
+                lambda b: hashlib.md5(bytes(b)).hexdigest()[:16] if b is not None else None
             )
             dims = payloads.map(
                 lambda b: decode_image_stub(bytes(b)) if b is not None else (None, None)

@@ -78,9 +78,17 @@ def cosine_topk_lsh(
     n_planes: int = 8,
     n_tables: int = 4,
     seed: int = 42,
+    multiprobe: bool = False,
 ) -> DataFrame:
     """ANN: score only vectors sharing an LSH bucket with the query in any of
-    n_tables code books. Approximate (recall tested vs brute force)."""
+    n_tables code books. Approximate (recall tested vs brute force).
+
+    ``multiprobe=True`` additionally probes, per table, every bucket at
+    hamming distance 1 from the query's code (flip one sign bit) — the
+    standard multi-probe LSH recall boost (near misses land one bit away far
+    more often than d bits away), costing n_planes extra bucket probes per
+    table instead of extra tables. The probe set stays a map-side isin
+    filter, so the scale shape is unchanged."""
     dim = len(query_vec)
     qv = np.asarray(query_vec, dtype=np.float64)
     keep = None
@@ -90,7 +98,12 @@ def cosine_topk_lsh(
         for i, p in enumerate(planes):
             if float(np.dot(qv, np.asarray(p))) > 0:
                 qcode |= 1 << i
-        cond = lsh_bucket_code(F.col(vec_col), planes) == F.lit(qcode)
+        code = lsh_bucket_code(F.col(vec_col), planes)
+        if multiprobe:
+            probes = [qcode] + [qcode ^ (1 << i) for i in range(n_planes)]
+            cond = code.isin(probes)
+        else:
+            cond = code == F.lit(qcode)
         keep = cond if keep is None else (keep | cond)
     cands = df.where(keep)
     return cosine_topk_bruteforce(cands, query_vec, k, vec_col, id_col)
