@@ -99,6 +99,33 @@ def q_mapreduce_undup_agg(spark, sf_dir):
     )
 
 
+def q_undup_script(spark, sf_dir):
+    """UndupScriptAction (UndupActions.cs:100-153) — the reference blackbox
+    body 'skip groups of size 1' (UnitTests/data/blackbox/import.xml:84-88)
+    plus count/add aggregates, via the grouped-map escape hatch."""
+    from importpipeline_spark.operators.postprocessors import skip_singleton_groups
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    out = map_reduce(
+        li,
+        undup_keys=[SortKey("l_orderkey", "long")],
+        actions=[
+            UndupAction("count", dest="cnt"),
+            UndupAction("add", "l_quantity", "sum_qty"),
+            UndupAction("script", fn=skip_singleton_groups),
+        ],
+        order_by=[SortKey("l_linenumber", "int")],
+    )
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("sum_qty", 2).alias("sum_qty"),
+        F.col("cnt").cast("long").alias("cnt"),
+    )
+
+
 def q_topk_orders(spark, sf_dir):
     """TopProcessor global top-N (PostProcessors/TopProcessor.cs:38-115)."""
     orders = _t(spark, sf_dir, "orders")
@@ -518,6 +545,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "mapreduce_undup_agg": q_mapreduce_undup_agg,
+        "undup_script": q_undup_script,
         "topk_orders": q_topk_orders,
         "topk_per_group": q_topk_per_group,
         "unique_first_event": q_unique_first_event,
@@ -595,6 +623,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(FLOOR(SUM(CAST(TRUNC(l_quantity) AS BIGINT)) / COUNT(l_quantity)) AS BIGINT) AS mean_qty_int,
                    COUNT(*) AS cnt
             FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "undup_script": """
+            WITH g AS (
+                SELECT l_orderkey, l_linenumber,
+                       ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                           ORDER BY l_linenumber ASC NULLS FIRST) AS rn,
+                       COUNT(*) OVER (PARTITION BY l_orderkey) AS cnt,
+                       SUM(l_quantity) OVER (PARTITION BY l_orderkey) AS sum_qty
+                FROM lineitem
+            )
+            SELECT l_orderkey, l_linenumber, ROUND(sum_qty, 2) AS sum_qty, cnt
+            FROM g WHERE rn = 1 AND cnt > 1
         """,
         "topk_orders": """
             SELECT ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank,

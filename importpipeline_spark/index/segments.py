@@ -240,7 +240,7 @@ def build_index_resumable(
             F.sum("n").alias("df"),
             F.sort_array(F.collect_set("shard")).alias("shards"),
         )
-        .coalesce(4)
+        .repartition(4)  # not coalesce: keep the agg at full parallelism
         .write.mode("overwrite")
         .parquet(os.path.join(root, "terms"))
     )
@@ -336,7 +336,7 @@ def _refresh_stats_terms(spark, root: str, run_id: str, input_snapshot: str) -> 
             F.sum("n").alias("df"),
             F.sort_array(F.collect_set("shard")).alias("shards"),
         )
-        .coalesce(4)
+        .repartition(4)  # not coalesce: keep the agg at full parallelism
         .write.mode("overwrite")
         .parquet(terms_tmp)
     )
@@ -469,6 +469,113 @@ def update_index(
     os.remove(marker)
     shutil.rmtree(docs_old, ignore_errors=True)
     return PhysicalIndex(root=root, stats=stats)
+
+
+# ---- published (snapshot-isolated) index lifecycle ----
+#
+# update_index above mutates an index root in place: crash-safe (marker
+# protocol + recover_update) but a CONCURRENT reader mid-update can observe a
+# mixed state (new docs + not-yet-rebuilt postings). The published lifecycle
+# below gives Iceberg-style snapshot isolation on top of it: every update
+# builds a NEW generation directory that hard-links the unchanged files of
+# the current one (no data copy; a changed shard is rewritten as fresh
+# inodes, never mutating the old generation), then atomically flips the
+# CURRENT pointer (sinks/writers.py publish_generation — the reference's
+# alias-flip, ESIndexDefinitions.cs:375-541). A reader that resolved CURRENT
+# before the flip keeps a complete, immutable index; one that resolves after
+# sees the complete new one — never a mix. On object storage (no hard links)
+# the same layout is expressed with manifest files instead — this mirrors the
+# Iceberg snapshot-commit shape, which is not installable in this sandbox.
+
+
+def _copy_index_tree(src: str, dst: str) -> None:
+    """Recreate src's directory tree at dst with hard links to its files
+    (falls back to copy when the filesystem refuses links)."""
+
+    def _link_or_copy(s: str, d: str) -> None:
+        try:
+            os.link(s, d)
+        except OSError:
+            shutil.copy2(s, d)
+
+    shutil.copytree(src, dst, copy_function=_link_or_copy)
+
+
+def _new_gen_path(store_root: str) -> str:
+    stamp = datetime.now(timezone.utc).strftime("%Y%m%d_%H%M%S_%f")
+    return os.path.join(store_root, f"gen={stamp}")
+
+
+def init_published_index(
+    spark: SparkSession,
+    pages: DataFrame,
+    store_root: str,
+    n_shards: int = 16,
+    run_id: str = "run1",
+    input_snapshot: str = "snap1",
+) -> PhysicalIndex:
+    """First generation: full build into gen=<stamp>/ then publish."""
+    from ..sinks.writers import publish_generation
+
+    os.makedirs(store_root, exist_ok=True)
+    gen = _new_gen_path(store_root)
+    pidx = build_index_resumable(
+        spark, pages, gen, n_shards=n_shards, run_id=run_id,
+        input_snapshot=input_snapshot,
+    )
+    publish_generation(store_root, gen)
+    return pidx
+
+
+def open_current_index(store_root: str) -> PhysicalIndex:
+    from ..sinks.writers import current_generation
+    from .store import open_index
+
+    cur = current_generation(store_root)
+    if cur is None:
+        raise FileNotFoundError(f"no published generation under {store_root}")
+    return open_index(cur)
+
+
+def update_index_published(
+    spark: SparkSession,
+    store_root: str,
+    new_pages: DataFrame,
+    run_id: str = "run2",
+    input_snapshot: str = "snap2",
+    keep_generations: int = 2,
+) -> PhysicalIndex:
+    """Snapshot-isolated incremental update: copy-on-write generation +
+    atomic CURRENT flip. A crash at ANY point leaves CURRENT untouched (the
+    old generation stays complete and immutable); re-running produces a fresh
+    generation. Old generations beyond ``keep_generations`` are removed after
+    a successful publish (never the one just published)."""
+    from ..sinks.writers import current_generation, publish_generation
+
+    cur = current_generation(store_root)
+    if cur is None:
+        raise FileNotFoundError(f"no published generation under {store_root}")
+    new_gen = _new_gen_path(store_root)
+    _copy_index_tree(cur, new_gen)
+    try:
+        pidx = update_index(
+            spark, new_gen, new_pages, run_id=run_id,
+            input_snapshot=input_snapshot,
+        )
+    except BaseException:
+        # abandoned generation: CURRENT never moved, readers unaffected
+        shutil.rmtree(new_gen, ignore_errors=True)
+        raise
+    publish_generation(store_root, new_gen)
+    gens = sorted(
+        d for d in os.listdir(store_root)
+        if d.startswith("gen=") and os.path.isdir(os.path.join(store_root, d))
+    )
+    for d in gens[:-keep_generations] if keep_generations > 0 else []:
+        path = os.path.join(store_root, d)
+        if path != new_gen:
+            shutil.rmtree(path, ignore_errors=True)
+    return pidx
 
 
 def classify_snapshot(

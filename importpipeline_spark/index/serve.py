@@ -121,6 +121,15 @@ class LocalSearcher:
         terms = sorted({t for t in analyze_query(query) if t in self._df})
         if not terms or self.n == 0:
             return []
+        si = self._make_shard_index(terms)
+        if si is None:
+            return []
+        docs, scores = _sweep(si, np.arange(len(si.ns)), k)
+        return list(zip(from_u64(docs).tolist(), scores.tolist()))
+
+    def _make_shard_index(self, terms: List[str]):
+        """Assemble the single flattened sweep space for a sorted term list
+        (shared with tests that drive _sweep directly, e.g. with theta0)."""
         idf_arr = np.array([self.idf(t) for t in terms], dtype=np.float64)
         parts, codes = [], []
         for code, t in enumerate(terms):
@@ -130,7 +139,7 @@ class LocalSearcher:
             parts.append(np.arange(s_, e_))
             codes.append(np.full(e_ - s_, code, dtype=np.int64))
         if not parts:
-            return []
+            return None
         rows = np.concatenate(parts)
         row_codes = np.concatenate(codes)
         si = _ShardIndex.from_arrays(
@@ -151,5 +160,4 @@ class LocalSearcher:
             block_keys=rows,
             raw_cache=self._raw_cache,
         )
-        docs, scores = _sweep(si, np.arange(len(rows)), k)
-        return list(zip(from_u64(docs).tolist(), scores.tolist()))
+        return si

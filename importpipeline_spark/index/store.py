@@ -181,13 +181,17 @@ def write_index(
     # instead of re-shuffling the full tf relation. Each term also records
     # WHICH shards hold it, so the query path partition-prunes postings and
     # doclen from the dictionary lookup alone (no extra planning job).
+    # repartition (NOT coalesce) to a small file count: coalesce would fuse
+    # into the agg stage and run the whole dictionary aggregation in 4 tasks
+    # — a hidden serial fraction that caps N→4N scaling; repartition keeps
+    # the agg at full parallelism and only the tiny aggregated rows move
     (
         postings.groupBy("term")
         .agg(
             F.sum("n").alias("df"),
             F.sort_array(F.collect_set("shard")).alias("shards"),
         )
-        .coalesce(4)
+        .repartition(4)
         .write.mode("overwrite")
         .parquet(os.path.join(root, "terms"))
     )

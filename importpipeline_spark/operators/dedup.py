@@ -19,9 +19,51 @@ plan (broadcast or sort-merge + AQE skew handling).
 
 from __future__ import annotations
 
-from typing import List
+import logging
+from typing import List, Optional
 
 from pyspark.sql import DataFrame, functions as F
+
+logger = logging.getLogger(__name__)
+
+# Default per-bucket size bound for the LSH-family candidate joins. A
+# degenerate bucket (boilerplate pages, zero vectors, stop-shingles) makes the
+# within-bucket self-join O(n²) in ONE task; members of buckets above the
+# bound are excluded from candidate generation (the standard hot-bucket /
+# stop-shingle cut). 10k members → ≤ 50M candidate rows per bucket worst
+# case, which a single executor can still verify; pass None to uncap.
+DEFAULT_MAX_BUCKET = 10_000
+
+
+def _cap_buckets(
+    rows: DataFrame,
+    bucket_cols: List[str],
+    max_bucket_size: Optional[int],
+    log_dropped: bool = False,
+) -> DataFrame:
+    """Drop all members of buckets larger than max_bucket_size.
+
+    The size aggregation is a partial-agg groupBy (tiny output: one row per
+    bucket) followed by a left-semi join — both shuffle on the same bucket
+    key the candidate self-join uses next. ``log_dropped=True`` counts the
+    dropped buckets (one extra small job on the aggregated sizes — costs a
+    recompute of the upstream, so off by default; callers at scale persist
+    the signature relation anyway). No silent caps: the cap, its value, and
+    the logging knob are part of the API surface.
+    """
+    if max_bucket_size is None:
+        return rows
+    sizes = rows.groupBy(*bucket_cols).agg(F.count(F.lit(1)).alias("__bsz"))
+    if log_dropped:
+        n = sizes.where(F.col("__bsz") > max_bucket_size).count()
+        if n:
+            logger.warning(
+                "LSH candidate generation dropped %d bucket(s) larger than "
+                "%d members; near-dups confined to those buckets will not be "
+                "emitted", n, max_bucket_size,
+            )
+    ok = sizes.where(F.col("__bsz") <= max_bucket_size).select(*bucket_cols)
+    return rows.join(ok, bucket_cols, "left_semi")
 
 
 def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -120,12 +162,16 @@ def minhash_lsh_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     threshold: float = 0.5,
+    max_bucket_size: Optional[int] = DEFAULT_MAX_BUCKET,
+    log_dropped: bool = False,
 ) -> DataFrame:
     """LSH: split signature into bands; docs sharing any band bucket are
     candidates; candidates verified with exact shingle Jaccard.
 
     Scale path: candidate generation is a groupBy on (band, band-hash) — the
-    only wide op; verification touches candidate pairs only.
+    only wide op; buckets above max_bucket_size are cut (see _cap_buckets)
+    so one boilerplate bucket cannot go quadratic; verification touches
+    candidate pairs only.
     """
     rows_per_band = num_hashes // bands
     sig = minhash_signature(df, text_col, id_col, n, num_hashes).persist()
@@ -146,6 +192,7 @@ def minhash_lsh_pairs(
             )
         ).alias("band", "bucket"),
     )
+    band_rows = _cap_buckets(band_rows, ["band", "bucket"], max_bucket_size, log_dropped)
     a = band_rows.alias("a")
     b = band_rows.alias("b")
     cands = (
@@ -210,6 +257,8 @@ def simhash_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 8,
     n_bands: int = 4,
+    max_bucket_size: Optional[int] = DEFAULT_MAX_BUCKET,
+    log_dropped: bool = False,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance ≤ max_hamming.
 
@@ -239,6 +288,7 @@ def simhash_pairs(
             )
         ).alias("band", "bucket"),
     )
+    bands = _cap_buckets(bands, ["band", "bucket"], max_bucket_size, log_dropped)
     a, b = bands.alias("a"), bands.alias("b")
     cands = (
         a.join(

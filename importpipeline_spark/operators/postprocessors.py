@@ -16,9 +16,11 @@ Key-typing semantics preserved from JComparer (PostProcessors/JComparer.cs):
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import List, Optional
+from typing import Callable, List, Optional
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.types import StructType
 from pyspark.sql.window import Window
 
 
@@ -104,12 +106,20 @@ def repeat_processor(df: DataFrame, n: int) -> DataFrame:
 
 @dataclass
 class UndupAction:
-    """UndupActions (PostProcessors/UndupActions.cs:78-270)."""
+    """UndupActions (PostProcessors/UndupActions.cs:78-270).
 
-    kind: str  # add|max|min|mean|count|first
+    kind="script" is UndupScriptAction (UndupActions.cs:100-153): ``fn``
+    receives the group's records as a pandas DataFrame (sorted by
+    ``order_by``; aggregate columns from the other actions already applied)
+    and returns the records to emit for that group — an empty frame is the
+    reference's ctx.ActionFlags=Skip, None means the default undup emit (the
+    group's first record). See map_reduce."""
+
+    kind: str  # add|max|min|mean|count|first|script
     field: Optional[str] = None
     dest: Optional[str] = None
     int_mode: bool = False  # mean: integer division (UndupActions.cs:171-191)
+    fn: Optional[Callable[[pd.DataFrame], Optional[pd.DataFrame]]] = None
 
     def agg(self) -> Column:
         d = self.dest or self.field
@@ -136,6 +146,7 @@ def map_reduce(
     df: DataFrame,
     undup_keys: List[SortKey],
     actions: List[UndupAction],
+    order_by: Optional[List[SortKey]] = None,
 ) -> DataFrame:
     """MapReduceProcessor (PostProcessors/MapReduceProcessor.cs:43-330).
 
@@ -144,9 +155,104 @@ def map_reduce(
     (map-side) + final aggregation, which is the fan-out/combine the
     reference hand-rolled. Typed/CI/empty≡null key semantics preserved via
     SortKey.expr().
+
+    With a kind="script" action (UndupScriptAction, UndupActions.cs:100-153;
+    blackbox usage UnitTests/data/blackbox/import.xml:84 — "skip groups of
+    size 1") the plan switches to groupBy(keys).applyInPandas: each group's
+    records — intra-group order pinned by ``order_by`` (required; the
+    reference's record order is the upstream sorter's) — get the aggregate
+    actions applied as group-level columns, then ``fn`` decides what to emit.
+    The reference wrote aggregates onto the group's FIRST record and emitted
+    that record unless the script set Skip; here the aggregate is visible on
+    every record handed to the script and the default emit (fn returns None)
+    is the first record — observably identical output. This stays one
+    shuffle: partial aggregation is lost (the script needs whole groups), but
+    that is inherent to an arbitrary per-group function.
     """
-    keys = [k.expr().alias(k.field) for k in undup_keys]
-    return df.groupBy(*keys).agg(*[a.agg() for a in actions])
+    script_actions = [a for a in actions if a.kind == "script"]
+    agg_actions = [a for a in actions if a.kind != "script"]
+    if not script_actions:
+        keys = [k.expr().alias(k.field) for k in undup_keys]
+        return df.groupBy(*keys).agg(*[a.agg() for a in actions])
+
+    if len(script_actions) > 1:
+        raise ValueError("at most one script undup action per map_reduce")
+    fn = script_actions[0].fn
+    if fn is None:
+        raise ValueError("script undup action requires fn")
+    if order_by is None:
+        raise ValueError(
+            "script undup action requires order_by — a distributed group has "
+            "no input order; pin the order the reference's sorter provided"
+        )
+
+    # output schema: the record columns + aggregate dest columns typed by the
+    # same Catalyst agg expressions the non-script path uses (limit(0) probe
+    # is plan-only, no job)
+    out_schema = StructType(list(df.schema.fields))
+    if agg_actions:
+        probe = df.limit(0).groupBy().agg(*[a.agg() for a in agg_actions]).schema
+        for f in probe.fields:
+            out_schema = out_schema.add(f)
+    agg_names = [f.name for f in out_schema.fields[len(df.schema.fields):]]
+
+    record_cols = list(df.columns)
+    sort_cols = [f"__ob{i}" for i in range(len(order_by))]
+    sort_asc = [not k.descending for k in order_by]
+    key_aliases = [f"__mk{i}" for i in range(len(undup_keys))]
+    with_keys = df.select(
+        *record_cols,
+        *[k.expr().alias(a) for k, a in zip(undup_keys, key_aliases)],
+        *[k.expr().alias(a) for k, a in zip(order_by, sort_cols)],
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        # multi-key stable sort, last key first; null < any value
+        # (JComparer.cs:277-303): nulls first asc, last desc — per key
+        for col_name, asc in reversed(list(zip(sort_cols, sort_asc))):
+            pdf = pdf.sort_values(
+                col_name, ascending=asc, kind="mergesort",
+                na_position="first" if asc else "last",
+            )
+        pdf = pdf[record_cols].reset_index(drop=True)
+        for a in agg_actions:
+            d = a.dest or a.field
+            col = pdf[a.field] if a.field else None
+            if a.kind == "add":
+                v = col.sum(min_count=1)  # all-null → null, like F.sum
+            elif a.kind == "max":
+                v = col.max()
+            elif a.kind == "min":
+                v = col.min()
+            elif a.kind == "mean":
+                if a.int_mode:
+                    # floor(sum/count-of-non-null) — UndupActions.cs:171-191
+                    v = int(col.dropna().sum()) // int(col.count())
+                else:
+                    v = col.mean()
+            elif a.kind == "count":
+                v = len(pdf)
+            elif a.kind == "first":
+                v = col.iloc[0]
+            else:
+                raise ValueError(f"unknown undup action {a.kind!r}")
+            pdf[d] = v
+        out = fn(pdf)
+        if out is None:
+            out = pdf.iloc[:1]
+        return out
+
+    return (
+        with_keys.groupBy(*key_aliases)
+        .applyInPandas(lambda pdf: kernel(pdf), out_schema)
+    )
+
+
+def skip_singleton_groups(pdf: pd.DataFrame) -> Optional[pd.DataFrame]:
+    """The reference blackbox suite's script body (import.xml:84-88):
+    ``if (len == 1) ctx.ActionFlags = _ActionFlags.Skip`` — drop groups with
+    a single record, default-emit the rest."""
+    return pdf.iloc[0:0] if len(pdf) == 1 else None
 
 
 def map_reduce_passthrough_split(

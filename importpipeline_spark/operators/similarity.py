@@ -12,10 +12,13 @@
 
 from __future__ import annotations
 
-from typing import List, Sequence
+from typing import Iterator, List, Sequence
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .dedup import DEFAULT_MAX_BUCKET, _cap_buckets
 
 
 def _dot(a, b):
@@ -109,14 +112,24 @@ def cosine_topk_lsh(
     return cosine_topk_bruteforce(cands, query_vec, k, vec_col, id_col)
 
 
-def _assign_cell(vec_col, centroids: List[List[float]]):
-    """cell = argmax cosine vs broadcast centroid list (JVM-side exprs)."""
-    sims = []
-    for c in centroids:
-        cn = float(np.linalg.norm(np.asarray(c, dtype=np.float64))) or 1.0
-        sims.append(_dot(vec_col, F.array(*[F.lit(float(x)) for x in c])) / F.lit(cn))
-    arr = F.array(*sims)
-    return (F.array_position(arr, F.array_max(arr)) - 1).cast("int")
+def _make_assign_udf(spark: SparkSession, centroids: List[List[float]]):
+    """cell = argmax cosine vs a BROADCAST numpy centroid matrix, computed in
+    one Arrow-batched matmul per batch. At real IVF sizes (thousands of
+    cells × hundreds of dims) this replaces an n_cells-wide literal
+    expression tree with a (batch × dim) @ (dim × n_cells) BLAS call."""
+    M = np.asarray(centroids, dtype=np.float64)
+    norms = np.linalg.norm(M, axis=1)
+    norms[norms == 0.0] = 1.0
+    bc = spark.sparkContext.broadcast(M / norms[:, None])
+
+    @F.pandas_udf("int")
+    def assign(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        Mn = bc.value.T  # (dim, n_cells)
+        for s in batches:
+            X = np.stack(s.to_numpy())  # (batch, dim); x-norm cancels in argmax
+            yield pd.Series(np.argmax(X @ Mn, axis=1).astype("int32"))
+
+    return assign
 
 
 def ivf_build(
@@ -129,30 +142,41 @@ def ivf_build(
     """IVF coarse quantizer: deterministic kmeans-lite.
 
     Init = the n_cells vectors with the smallest ids (deterministic, no RNG
-    on data); `iters` Lloyd rounds where assignment is a broadcast argmax and
-    centroid recompute is one explode+groupBy per round. Returns
-    (df + 'cell' column, centroids). Scale path: assignment is map-side; the
-    only wide op per round is the per-(cell, dim) mean.
+    on data); ``iters`` Lloyd rounds. Per round: assignment is a map-side
+    pandas_udf against the broadcast centroid matrix (no expression tree, no
+    per-row Python); the centroid update is ONE grouped applyInPandas whose
+    output is n_cells rows of array<double> — the only thing pulled to the
+    driver per round is that n_cells×dim matrix, the same thing MLlib KMeans
+    collects between Lloyd rounds (the next round's broadcast needs it).
+    Returns (df + 'cell' column, centroids).
     """
+    spark = df.sparkSession
     seed_rows = df.orderBy(F.col(id_col).asc()).limit(n_cells).collect()
     centroids = [[float(x) for x in r[vec_col]] for r in seed_rows]
+
+    def mean_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        X = np.stack(pdf["__v"].to_numpy())
+        return pd.DataFrame(
+            {"cell": pdf["cell"].iloc[:1], "centroid": [X.mean(axis=0).tolist()]}
+        )
+
     for _ in range(iters):
-        assigned = df.withColumn("cell", _assign_cell(F.col(vec_col), centroids))
-        means = (
-            assigned.select("cell", F.posexplode(vec_col).alias("dim", "v"))
-            .groupBy("cell", "dim")
-            .agg(F.avg("v").alias("m"))
-            .collect()
+        assign = _make_assign_udf(spark, centroids)
+        assigned = df.select(
+            F.col(vec_col).alias("__v"), assign(F.col(vec_col)).alias("cell")
+        )
+        rows = (
+            assigned.groupBy("cell")
+            .applyInPandas(mean_kernel, "cell int, centroid array<double>")
+            .collect()  # ≤ n_cells rows — the per-round broadcast payload
         )
         new_c = [list(c) for c in centroids]
-        by_cell: dict = {}
-        for r in means:
-            by_cell.setdefault(r.cell, {})[r.dim] = r.m
-        for cell, dims in by_cell.items():
-            for d, m in dims.items():
-                new_c[cell][d] = float(m)
+        for r in rows:
+            new_c[int(r.cell)] = [float(x) for x in r.centroid]
         centroids = new_c
-    out = df.withColumn("cell", _assign_cell(F.col(vec_col), centroids))
+    out = df.withColumn(
+        "cell", _make_assign_udf(spark, centroids)(F.col(vec_col))
+    )
     return out, centroids
 
 
@@ -187,9 +211,16 @@ def embedding_neardup_pairs(
     n_planes: int = 12,
     n_tables: int = 3,
     seed: int = 42,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
+    log_dropped: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via hyperplane-LSH blocking +
-    exact cosine verification on candidates."""
+    exact cosine verification on candidates.
+
+    ``max_bucket_size`` cuts degenerate buckets (e.g. zero vectors all land
+    in code 0 of every table) before the within-bucket self-join — see
+    dedup._cap_buckets. None = uncapped."""
+
     first = df.select(F.size(vec_col).alias("d")).first()
     dim = int(first.d)
     base = df.select(
@@ -199,6 +230,7 @@ def embedding_neardup_pairs(
     for t in range(n_tables):
         planes = _hyperplanes(dim, n_planes, seed + t)
         coded = base.withColumn("bucket", lsh_bucket_code(F.col("v"), planes))
+        coded = _cap_buckets(coded, ["bucket"], max_bucket_size, log_dropped)
         a, b = coded.alias("a"), coded.alias("b")
         pair = a.join(
             b,

@@ -86,6 +86,64 @@ def test_simhash_neardups(corpus):
 
 
 @pytest.fixture(scope="module")
+def skewed_corpus(spark):
+    """Adversarial skew: 300 byte-identical boilerplate docs (one degenerate
+    LSH bucket in every band) + 50 normal docs."""
+    rows = [(i, "spark shuffle partition skew boilerplate page text " * 4)
+            for i in range(300)]
+    rng = np.random.default_rng(3)
+    vocab = [f"w{i}" for i in range(500)]
+    for i in range(50):
+        words = [vocab[j] for j in rng.integers(0, 500, size=30)]
+        rows.append((1000 + i, " ".join(words)))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_bucket_cap_bounds_candidates(skewed_corpus, caplog):
+    import logging
+
+    with caplog.at_level(logging.WARNING,
+                         logger="importpipeline_spark.operators.dedup"):
+        got = minhash_lsh_pairs(
+            skewed_corpus, max_bucket_size=50, log_dropped=True
+        )
+        hot = got.where((F.col("id_a") < 300) & (F.col("id_b") < 300)).count()
+    # the degenerate bucket is cut: zero quadratic pair blow-up …
+    assert hot == 0
+    # … and the cut is reported, never silent
+    assert any("dropped" in r.message for r in caplog.records)
+    # sanity: with the cap lifted the same docs DO pair up (the cap, not a
+    # hashing accident, is what removed them)
+    sub = skewed_corpus.where(F.col("doc_id") < 20)
+    assert minhash_lsh_pairs(sub, max_bucket_size=None).count() == 190
+
+
+def test_simhash_bucket_cap_bounds_candidates(skewed_corpus):
+    got = simhash_pairs(skewed_corpus, max_hamming=3, max_bucket_size=50)
+    hot = got.where((F.col("id_a") < 300) & (F.col("id_b") < 300)).count()
+    assert hot == 0
+    sub = skewed_corpus.where(F.col("doc_id") < 20)
+    assert simhash_pairs(sub, max_hamming=3, max_bucket_size=None).count() == 190
+
+
+def test_embedding_bucket_cap_bounds_candidates(spark):
+    # 300 identical vectors → one degenerate bucket per table; 50 random
+    rng = np.random.default_rng(7)
+    same = rng.standard_normal(16).astype(np.float32)
+    rows = [(i, [float(x) for x in same]) for i in range(300)]
+    base = rng.standard_normal((50, 16)).astype(np.float32)
+    rows += [(1000 + i, [float(x) for x in base[i]]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = embedding_neardup_pairs(df, threshold=0.99, max_bucket_size=50)
+    hot = got.where((F.col("id_a") < 300) & (F.col("id_b") < 300)).count()
+    assert hot == 0
+    sub = df.where(F.col("vec_id") < 20)
+    assert embedding_neardup_pairs(
+        sub, threshold=0.99, max_bucket_size=None
+    ).count() == 190
+
+
+@pytest.fixture(scope="module")
 def vectors(spark):
     rng = np.random.default_rng(5)
     base = rng.standard_normal((200, 16)).astype(np.float32)
@@ -145,6 +203,30 @@ def test_ivf_ann_recall(vectors, spark):
     # all cells assigned in range
     cells = {r.cell for r in with_cells.select("cell").distinct().collect()}
     assert cells <= set(range(8))
+
+
+def test_ivf_real_sizes(spark):
+    """IVF at realistic quantizer sizes (256 cells × 128 dims): the broadcast
+    numpy assignment path must stay fast and correct — clustered data should
+    land whole clusters in the same cell, and probing enough cells must reach
+    recall ≥ 0.9 on a clustered query."""
+    from importpipeline_spark.operators.similarity import cosine_topk_ivf, ivf_build
+
+    rng = np.random.default_rng(13)
+    centers = rng.standard_normal((32, 128))
+    X = np.repeat(centers, 64, axis=0) + rng.standard_normal((2048, 128)) * 0.05
+    rows = [(i, [float(v) for v in X[i]]) for i in range(len(X))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    with_cells, centroids = ivf_build(df, n_cells=256, iters=2)
+    assert len(centroids) == 256
+    q = [float(v) for v in X[0]]
+    got_exact = cosine_topk_bruteforce(df.where(F.col("vec_id") != 0), q, k=10).collect()
+    got_ivf = cosine_topk_ivf(
+        with_cells.where(F.col("vec_id") != 0), centroids, q, k=10, n_probe=16
+    ).collect()
+    recall = len({r.vec_id for r in got_ivf} & {r.vec_id for r in got_exact}) / 10
+    assert recall >= 0.9, f"IVF recall {recall}"
 
 
 def test_embedding_neardup(spark):

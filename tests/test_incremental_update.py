@@ -151,3 +151,59 @@ def test_noop_update(indexes, spark):
     snap2 = _snapshot2(spark)
     out = update_index(spark, pidx_inc.root, snap2, run_id="run3")
     assert out.stats["n_docs"] == before
+
+
+def _topk(spark, pidx, k=10):
+    return [
+        (r.doc_id, r.score)
+        for q in QUERIES
+        for r in bm25_topk_wand(spark, pidx, q, k=k).collect()
+    ]
+
+
+def test_published_update_snapshot_isolation(spark, tmp_path):
+    """Readers see the OLD index or the NEW index, never a mix: a reader that
+    resolved CURRENT before an update keeps complete pre-update results; a
+    crash mid-update leaves CURRENT (and its generation) untouched."""
+    import os
+
+    from importpipeline_spark.index import segments as seg
+    from importpipeline_spark.index.segments import (
+        init_published_index,
+        open_current_index,
+        update_index_published,
+    )
+
+    store = str(tmp_path / "store")
+    snap1 = gen_pages_df(spark, N1, seed=42, partitions=8)
+    init_published_index(spark, snap1, store, n_shards=8)
+
+    reader_old = open_current_index(store)  # resolves CURRENT now
+    before = _topk(spark, reader_old)
+
+    # crash mid-update (after the docs swap inside the new generation):
+    # CURRENT must not move and the old generation must stay fully intact
+    real_rebuild = seg._rebuild_shards
+    def boom(*a, **kw):
+        raise RuntimeError("injected mid-update crash")
+    seg._rebuild_shards = boom
+    try:
+        with pytest.raises(RuntimeError, match="injected"):
+            update_index_published(spark, store, _snapshot2(spark))
+    finally:
+        seg._rebuild_shards = real_rebuild
+    assert open_current_index(store).root == reader_old.root
+    assert _topk(spark, open_current_index(store)) == before
+
+    # successful update: the pre-flip reader still serves complete OLD
+    # results from its immutable generation; a fresh reader sees the NEW one
+    pidx_new = update_index_published(spark, store, _snapshot2(spark))
+    assert _topk(spark, reader_old) == before
+    reader_new = open_current_index(store)
+    assert reader_new.root == pidx_new.root != reader_old.root
+    assert reader_new.stats["n_docs"] == N1 + N_NEW
+
+    # the new generation is rank-identical to an in-place update (same
+    # engine path), and the old generation was GC-able only after publish
+    gens = [d for d in os.listdir(store) if d.startswith("gen=")]
+    assert len(gens) == 2  # keep_generations=2: old + new retained

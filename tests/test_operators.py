@@ -94,6 +94,70 @@ def test_ci_key_grouping(events_df):
     assert d[None] == 2  # '' and null merge
 
 
+def test_undup_script_action(events_df):
+    """UndupScriptAction (UndupActions.cs:100-153): the blackbox 'skip groups
+    of size 1' body + aggregates applied before the script, default emit =
+    first record in order_by order."""
+    from importpipeline_spark.operators.postprocessors import skip_singleton_groups
+
+    got = (
+        map_reduce(
+            events_df,
+            undup_keys=[SortKey("k1", "int")],
+            actions=[
+                UndupAction("count", dest="cnt"),
+                UndupAction("add", "v", "sum_v"),
+                UndupAction("script", fn=skip_singleton_groups),
+            ],
+            order_by=[SortKey("v", "long"), SortKey("d", "double")],
+        )
+        .orderBy(F.col("k1").asc_nulls_first())
+        .toPandas()
+    )
+    # groups: k1=1 (5 rows), k1=2 (2 rows), k1=3 (1 row), k1=None (1 row)
+    # singletons (3, None) are skipped; emit = first record by (v asc nulls
+    # first, d asc)
+    assert got["k1"].tolist() == [1, 2]
+    assert got["cnt"].tolist() == [5, 2]
+    assert got["sum_v"].tolist() == [51, 40]
+    # k1=1 first record by v asc: v=5; k1=2: v=None sorts first (null < any)
+    assert got.loc[0, "v"] == 5
+    assert pd.isna(got.loc[1, "v"])
+
+
+def test_undup_script_custom_fn(events_df):
+    """An fn that rewrites the emitted records (not just skip/keep): emit ALL
+    records of groups larger than 2, tagged with the group count."""
+    def explode_big_groups(pdf):
+        return pdf if len(pdf) > 2 else pdf.iloc[0:0]
+
+    got = map_reduce(
+        events_df,
+        undup_keys=[SortKey("k1", "int")],
+        actions=[UndupAction("count", dest="cnt"),
+                 UndupAction("script", fn=explode_big_groups)],
+        order_by=[SortKey("v", "long")],
+    ).toPandas()
+    assert got["k1"].unique().tolist() == [1]
+    assert len(got) == 5
+    assert got["cnt"].tolist() == [5] * 5
+    # order within the group is the order_by order
+    assert got["v"].fillna(-1).tolist() == sorted(
+        got["v"].fillna(-1).tolist()
+    )
+
+
+def test_undup_script_requires_order(events_df):
+    from importpipeline_spark.operators.postprocessors import skip_singleton_groups
+
+    with pytest.raises(ValueError, match="order_by"):
+        map_reduce(
+            events_df,
+            undup_keys=[SortKey("k1", "int")],
+            actions=[UndupAction("script", fn=skip_singleton_groups)],
+        )
+
+
 def test_sort_processor_semantics(spark):
     df = spark.createDataFrame(
         [("b", 1), ("A", 2), ("", 3), (None, 4), ("a", 5)],

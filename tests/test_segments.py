@@ -66,6 +66,28 @@ def test_kill_and_resume_bit_identical(spark, tmp_path):
     got = bm25_topk_wand(spark, pidx, "the", k=5).collect()
     assert len(got) == 5
 
+    # lineage carries per-segment counters + metrics (SURVEY §7.1, mirroring
+    # DatasourceReport — ImportReport.cs:92-209), not just status
+    rows = read_lineage(spark, crash_root).collect()
+    assert all(r.status == "ok" for r in rows)
+    assert sum(r.n_docs for r in rows) == N
+    assert all(r.n_postings > 0 for r in rows)
+    for r in rows:
+        assert r.metrics["blocks"] > 0
+        assert r.metrics["distinct_terms"] > 0
+        assert r.started_ts is not None and r.finished_ts is not None
+
+
+def test_resume_rejects_different_input(spark, tmp_path):
+    """Lineage/stats record input_snapshot; resuming the same root over a
+    DIFFERENT input must fail loudly instead of mixing stale and fresh
+    segments."""
+    pages = gen_pages_df(spark, 50, seed=42, partitions=2)
+    root = str(tmp_path / "idx")
+    build_index_resumable(spark, pages, root, n_shards=4, input_snapshot="snapA")
+    with pytest.raises(ValueError, match="input_snapshot"):
+        build_index_resumable(spark, pages, root, n_shards=4, input_snapshot="snapB")
+
 
 def test_exist_state_classification(spark):
     old = spark.createDataFrame(

@@ -155,3 +155,35 @@ def test_compact(spark, tmp_path):
     files = glob.glob(os.path.join(p, "*.parquet"))
     assert len(files) == 2
     assert spark.read.parquet(p).count() == 1000
+
+
+def test_jdbc_derby_roundtrip(spark, tmp_path):
+    """read_jdbc against a REAL embedded database: Apache Derby ships in
+    Spark's jars, so the JDBC reader (SqlDatasource equivalent) is exercised
+    end-to-end — plain scan, range-partitioned scan, and query mode."""
+    from importpipeline_spark.sources.readers import read_jdbc
+
+    url = f"jdbc:derby:{tmp_path}/jdbc_db;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    src = spark.range(0, 100).select(
+        F.col("id").alias("id"), (F.col("id") * 2).alias("v")
+    )
+    src.write.jdbc(url, "T1", mode="overwrite", properties=props)
+
+    got = read_jdbc(spark, url, "T1", properties=props)
+    rows = {(int(r[0]), int(r[1])) for r in got.collect()}
+    assert rows == {(i, 2 * i) for i in range(100)}
+
+    parts = read_jdbc(
+        spark, url, "T1", properties=props,
+        partition_column="ID", lower_bound=0, upper_bound=100, num_partitions=4,
+    )
+    assert parts.rdd.getNumPartitions() == 4
+    assert {int(r[0]) for r in parts.collect()} == set(range(100))
+
+    # Spark's JDBC writer quotes identifiers, so Derby stores them
+    # case-sensitively lowercase — quote them in query mode
+    q = read_jdbc(
+        spark, url, 'SELECT "id" FROM T1 WHERE "id" < 10', properties=props
+    )
+    assert sorted(int(r[0]) for r in q.collect()) == list(range(10))
