@@ -163,6 +163,8 @@ def test_jdbc_derby_roundtrip(spark, tmp_path):
     end-to-end — plain scan, range-partitioned scan, and query mode."""
     from importpipeline_spark.sources.readers import read_jdbc
 
+    # keep Derby's derby.log out of the repo cwd
+    spark._jvm.System.setProperty("derby.system.home", str(tmp_path))
     url = f"jdbc:derby:{tmp_path}/jdbc_db;create=true"
     props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
     src = spark.range(0, 100).select(
