@@ -61,14 +61,17 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _rank_bounded(df: DataFrame, *order, col: str = "rank") -> DataFrame:
-    """Rank a deliberately-bounded DataFrame (≤k rows, post-limit).
-
-    partitionBy(lit(0)) is a constant key: the input is already ≤k rows by
-    construction (TakeOrderedAndProject upstream), so the single partition is
-    intentional and bounded — this just keeps WindowExec from warning about a
-    plan that cannot grow with the data."""
-    w = Window.partitionBy(F.lit(0)).orderBy(*order)
-    return df.withColumn(col, F.row_number().over(w).cast("long"))
+    """Rank a deliberately-bounded DataFrame (≤k rows, post-limit) without a
+    global window: the input is already ≤k rows by construction
+    (TakeOrderedAndProject upstream), so it is sorted inside one intentional
+    single partition and numbered with monotonically_increasing_id (which is
+    0..n-1 within a single partition). No WindowExec, no unbounded
+    single-partition exchange anywhere in the plan."""
+    return (
+        df.coalesce(1)
+        .sortWithinPartitions(*order)
+        .withColumn(col, (F.monotonically_increasing_id() + 1).cast("long"))
+    )
 
 
 # ---------------------------------------------------------------- queries --

@@ -154,6 +154,8 @@ def write_index(
     """
     from .build import build_docs_and_tf
 
+    from concurrent.futures import ThreadPoolExecutor
+
     fused = build_docs_and_tf(pages).persist()
     tf = fused.select(
         "doc_id", F.explode("tf_pairs").alias("p")
@@ -168,41 +170,62 @@ def write_index(
         .partitionBy("shard")
         .parquet(os.path.join(root, "postings"))
     )
-    (
-        doclen.withColumn("shard", shard_of(F.col("doc_id"), n_shards))
-        .repartition(n_shards, "shard")
-        .sortWithinPartitions("doc_id")
-        .write.mode("overwrite")
-        .partitionBy("shard")
-        .parquet(os.path.join(root, "doclen"))
-    )
-    # dictionary derived from posting metadata (df = Σ block n per term) —
-    # aggregates ~|terms|·|shards| block rows (from the cached blocks)
-    # instead of re-shuffling the full tf relation. Each term also records
-    # WHICH shards hold it, so the query path partition-prunes postings and
-    # doclen from the dictionary lookup alone (no extra planning job).
-    # repartition (NOT coalesce) to a small file count: coalesce would fuse
-    # into the agg stage and run the whole dictionary aggregation in 4 tasks
-    # — a hidden serial fraction that caps N→4N scaling; repartition keeps
-    # the agg at full parallelism and only the tiny aggregated rows move
-    (
-        postings.groupBy("term")
-        .agg(
-            F.sum("n").alias("df"),
-            F.sort_array(F.collect_set("shard")).alias("shards"),
+
+    # the remaining outputs are independent small jobs over cached frames:
+    # submit them CONCURRENTLY (Spark job submission is thread-safe) so their
+    # fixed scheduling/IO latencies overlap instead of summing — sequential,
+    # these tails were a serial fraction that capped N→4N scaling
+    def _write_doclen():
+        (
+            doclen.withColumn("shard", shard_of(F.col("doc_id"), n_shards))
+            .repartition(n_shards, "shard")
+            .sortWithinPartitions("doc_id")
+            .write.mode("overwrite")
+            .partitionBy("shard")
+            .parquet(os.path.join(root, "doclen"))
         )
-        .repartition(4)
-        .write.mode("overwrite")
-        .parquet(os.path.join(root, "terms"))
-    )
+
+    def _write_terms():
+        # dictionary derived from posting metadata (df = Σ block n per term)
+        # — aggregates ~|terms|·|shards| block rows (from the cached blocks)
+        # instead of re-shuffling the full tf relation. Each term also
+        # records WHICH shards hold it, so the query path partition-prunes
+        # postings and doclen from the dictionary lookup alone. repartition
+        # (NOT coalesce) to a small file count: coalesce would fuse into the
+        # agg stage and run the whole aggregation in 4 tasks.
+        (
+            postings.groupBy("term")
+            .agg(
+                F.sum("n").alias("df"),
+                F.sort_array(F.collect_set("shard")).alias("shards"),
+            )
+            .repartition(4)
+            .write.mode("overwrite")
+            .parquet(os.path.join(root, "terms"))
+        )
+
+    def _write_docs():
+        if write_docs:
+            fused.drop("tf_pairs").write.mode("overwrite").parquet(
+                os.path.join(root, "docs")
+            )
+
+    def _stats_row():
+        return fused.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_len").alias("total_tokens"),
+        ).first()
+
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        f_dl = ex.submit(_write_doclen)
+        f_tm = ex.submit(_write_terms)
+        f_dc = ex.submit(_write_docs)
+        f_st = ex.submit(_stats_row)
+        row = f_st.result()
+        f_dl.result()
+        f_tm.result()
+        f_dc.result()
     postings.unpersist()
-    if write_docs:
-        fused.drop("tf_pairs").write.mode("overwrite").parquet(
-            os.path.join(root, "docs")
-        )
-    row = fused.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum("doc_len").alias("total_tokens")
-    ).first()
     n_docs = int(row.n_docs)
     total = int(row.total_tokens or 0)
     stats = {
