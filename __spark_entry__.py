@@ -102,6 +102,22 @@ def q_mapreduce_undup_agg(spark, sf_dir):
     )
 
 
+def q_perl_regex(spark, sf_dir):
+    """PerlRegex converter surface (PerlRegex.cs:29-82): s/…/…/ global
+    replace and m/…/ match as column expressions."""
+    from importpipeline_spark.functions.converters import (
+        perl_regex_match,
+        perl_regex_replace,
+    )
+
+    part = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        perl_regex_replace(F.col("p_name"), "s/ /_/").alias("name_joined"),
+        perl_regex_match(F.col("p_name"), "m/green/").cast("long").alias("has_green"),
+    )
+
+
 def q_undup_script(spark, sf_dir):
     """UndupScriptAction (UndupActions.cs:100-153) — the reference blackbox
     body 'skip groups of size 1' (UnitTests/data/blackbox/import.xml:84-88)
@@ -549,6 +565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "mapreduce_undup_agg": q_mapreduce_undup_agg,
         "undup_script": q_undup_script,
+        "perl_regex": q_perl_regex,
         "topk_orders": q_topk_orders,
         "topk_per_group": q_topk_per_group,
         "unique_first_event": q_unique_first_event,
@@ -626,6 +643,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(FLOOR(SUM(CAST(TRUNC(l_quantity) AS BIGINT)) / COUNT(l_quantity)) AS BIGINT) AS mean_qty_int,
                    COUNT(*) AS cnt
             FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "perl_regex": """
+            SELECT p_partkey,
+                   regexp_replace(p_name, ' ', '_', 'g') AS name_joined,
+                   CAST(CASE WHEN regexp_matches(p_name, 'green')
+                        THEN 1 ELSE 0 END AS BIGINT) AS has_green
+            FROM part
         """,
         "undup_script": """
             WITH g AS (

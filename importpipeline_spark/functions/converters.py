@@ -207,3 +207,43 @@ def arr_last(c: Column) -> Column:
 
 def arr_count(c: Column) -> Column:
     return F.size(c)
+
+
+# ---- PerlRegex (PerlRegex.cs:29-82) ----
+
+def parse_perl_regex(expr: str, must_replace: bool = True):
+    """Parse '<m|s><delim>pattern<delim>repl<delim>switches' (PerlRegex.cs:35-60).
+
+    Any character after the leading m/s is the delimiter. Returns
+    (kind, pattern, repl-or-None). Raises ValueError on the same inputs the
+    reference raises BMException for."""
+    if not expr or expr[0] not in ("m", "s") or len(expr) < 2:
+        raise ValueError(
+            f"Invalid PerlRegex expression [{expr}]. Must be formed like "
+            "'<m|s>/<expr>/<repl>/<switches>'."
+        )
+    kind = expr[0]
+    if must_replace and kind == "m":
+        raise ValueError(f"PerlRegex expression [{expr}] is not a replace expression.")
+    parts = expr.split(expr[1])
+    if len(parts) < 2:
+        raise ValueError(f"Invalid PerlRegex expression [{expr}].")
+    if must_replace and len(parts) < 3:
+        raise ValueError(f"PerlRegex expression [{expr}] is not a replace expression.")
+    return kind, parts[1], parts[2] if len(parts) > 2 else None
+
+
+def perl_regex_match(c: Column, expr: str) -> Column:
+    """PerlRegex.IsMatch as a column predicate (null → no match, like the
+    reference's null guard)."""
+    _, pattern, _ = parse_perl_regex(expr, must_replace=False)
+    return F.coalesce(c.rlike(pattern), F.lit(False))
+
+
+def perl_regex_replace(c: Column, expr: str) -> Column:
+    """PerlRegex.Replace: global regex replace with $1-style group refs
+    (both .NET and Java use $n; null passes through)."""
+    kind, pattern, repl = parse_perl_regex(expr, must_replace=True)
+    if kind != "s":
+        raise ValueError(f"PerlRegex expression [{expr}] is not a replace expression.")
+    return F.regexp_replace(c, pattern, repl)

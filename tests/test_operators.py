@@ -359,3 +359,35 @@ def test_json_decode_and_format(spark):
     ).first()
     assert r.o.k == 7 and r.o.s == "hi"
     assert r.f == "v=3.5!"
+
+
+def test_perl_regex(spark):
+    """PerlRegex (PerlRegex.cs:29-82): the reference's own unit test
+    (UnitTests/PerlRegexTests.cs — '^(.*)' → 'x$1' gives 'xabc'), delimiter
+    freedom, match mode, and error cases."""
+    from importpipeline_spark.functions.converters import (
+        parse_perl_regex,
+        perl_regex_match,
+        perl_regex_replace,
+    )
+
+    df = spark.createDataFrame([("abc",), (None,), ("a b c",)], "s string")
+    got = df.select(
+        perl_regex_replace(F.col("s"), "s/^(.*)/x$1/").alias("anch"),
+        perl_regex_replace(F.col("s"), "s/(.*)/x$1/").alias("unanch"),
+        perl_regex_replace(F.col("s"), "s# #_#").alias("delim"),
+        perl_regex_match(F.col("s"), "m/b/").alias("hasb"),
+    ).collect()
+    assert got[0].anch == "xabc"
+    # without ^ the empty match at the end also fires (reference test's note)
+    assert got[0].unanch == "xabcx"
+    assert got[2].delim == "a_b_c"
+    assert got[1].anch is None and got[1].hasb is False  # null guards
+    assert [r.hasb for r in got] == [True, False, True]
+
+    with pytest.raises(ValueError, match="not a replace"):
+        parse_perl_regex("m/x/", must_replace=True)
+    with pytest.raises(ValueError, match="Invalid PerlRegex"):
+        parse_perl_regex("x/a/b/")
+    with pytest.raises(ValueError, match="Invalid PerlRegex"):
+        parse_perl_regex("s")
