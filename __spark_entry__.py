@@ -486,8 +486,11 @@ def q_minhash_lsh_dups(spark, sf_dir):
     DuckDB oracle. Recall/precision of the banded (r>1) configurations are
     covered in tests/test_dedup_similarity.py."""
     base = _docs_with_dups(spark, sf_dir)
+    # max_bucket_size=None: this query IS the recall invariant — a silent
+    # bucket cap would fail the oracle at corpora where buckets outgrow the
+    # default bound; the capped configuration is exercised in tests/
     return minhash_lsh_pairs(base, "text", "doc_id", n=3, num_hashes=32, bands=32,
-                             threshold=0.5).select(
+                             threshold=0.5, max_bucket_size=None).select(
         "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
     )
 
@@ -499,7 +502,10 @@ def q_simhash_pairs(spark, sf_dir):
     so a found=0 row means the simhash itself drifted). The oracle is the
     planted pair set with found=1 everywhere."""
     base = _docs_with_dups(spark, sf_dir)
-    detected = simhash_pairs(base, "text", "doc_id", max_hamming=8, n_bands=16)
+    # uncapped: 4-bit bands mean bucket size grows with the corpus, and this
+    # query's oracle asserts 100% recall — see q_minhash_lsh_dups note
+    detected = simhash_pairs(base, "text", "doc_id", max_hamming=8, n_bands=16,
+                             max_bucket_size=None)
     docs = _t(spark, sf_dir, "documents")
     mut = docs.where(F.col("doc_id") < 25).select(
         F.col("doc_id").alias("id_a"),
@@ -816,7 +822,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "multimodal_meta": """
             SELECT doc_id,
-                   CAST(8 + octet_length(encode(text)) AS INT) AS n_bytes,
+                   CASE WHEN text IS NULL THEN 0
+                        ELSE CAST(8 + octet_length(encode(text)) AS INT)
+                   END AS n_bytes,
                    'image/x-fake' AS mime,
                    substring(md5('FAKEIMG1' || text), 1, 16) AS payload_hash
             FROM documents WHERE doc_id < 200

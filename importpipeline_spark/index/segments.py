@@ -229,20 +229,14 @@ def build_index_resumable(
         if fail_after_segment is not None and i >= fail_after_segment:
             raise RuntimeError(f"injected failure after segment {seg}")
 
-    # dictionary derived from the completed posting segments (df = Σ block n
-    # per term, + the shard list for query-side partition pruning) —
-    # idempotent, so a resumed run just re-derives it
-    (
+    # dictionary derived from the completed posting segments — idempotent,
+    # so a resumed run just re-derives it (single impl: store.py)
+    from .store import write_terms_dictionary
+
+    write_terms_dictionary(
         spark.read.option("basePath", os.path.join(root, "postings"))
-        .parquet(os.path.join(root, "postings"))
-        .groupBy("term")
-        .agg(
-            F.sum("n").alias("df"),
-            F.sort_array(F.collect_set("shard")).alias("shards"),
-        )
-        .repartition(4)  # not coalesce: keep the agg at full parallelism
-        .write.mode("overwrite")
-        .parquet(os.path.join(root, "terms"))
+        .parquet(os.path.join(root, "postings")),
+        os.path.join(root, "terms"),
     )
 
     return PhysicalIndex(root=root, stats=stats)
@@ -326,19 +320,14 @@ def _refresh_stats_terms(spark, root: str, run_id: str, input_snapshot: str) -> 
         run_id=run_id,
         input_snapshot=input_snapshot,
     )
+    from .store import write_terms_dictionary
+
     terms_tmp = os.path.join(root, "terms.tmp")
     shutil.rmtree(terms_tmp, ignore_errors=True)
-    (
+    write_terms_dictionary(
         spark.read.option("basePath", os.path.join(root, "postings"))
-        .parquet(os.path.join(root, "postings"))
-        .groupBy("term")
-        .agg(
-            F.sum("n").alias("df"),
-            F.sort_array(F.collect_set("shard")).alias("shards"),
-        )
-        .repartition(4)  # not coalesce: keep the agg at full parallelism
-        .write.mode("overwrite")
-        .parquet(terms_tmp)
+        .parquet(os.path.join(root, "postings")),
+        terms_tmp,
     )
     terms_path = os.path.join(root, "terms")
     shutil.rmtree(terms_path, ignore_errors=True)
@@ -567,14 +556,23 @@ def update_index_published(
         shutil.rmtree(new_gen, ignore_errors=True)
         raise
     publish_generation(store_root, new_gen)
-    gens = sorted(
-        d for d in os.listdir(store_root)
-        if d.startswith("gen=") and os.path.isdir(os.path.join(store_root, d))
-    )
-    for d in gens[:-keep_generations] if keep_generations > 0 else []:
-        path = os.path.join(store_root, d)
-        if path != new_gen:
-            shutil.rmtree(path, ignore_errors=True)
+    # GC: NEVER remove the generation just published or the one readers may
+    # still hold (the pre-flip CURRENT) — a hard-killed update can leave an
+    # orphaned gen dir on disk, and counting it toward keep_generations could
+    # otherwise evict the live predecessor. Beyond those two protected dirs,
+    # keep the newest (keep_generations - 2) others; single-writer contract
+    # makes everything else (older published gens, crash orphans) disposable.
+    if keep_generations > 0:
+        gens = sorted(
+            os.path.join(store_root, d)
+            for d in os.listdir(store_root)
+            if d.startswith("gen=") and os.path.isdir(os.path.join(store_root, d))
+        )
+        protected = {new_gen, cur}
+        others = [g for g in gens if g not in protected]
+        spare = max(0, keep_generations - len(protected))
+        for g in others[: len(others) - spare if spare else None]:
+            shutil.rmtree(g, ignore_errors=True)
     return pidx
 
 

@@ -99,6 +99,26 @@ def _encode_shard(tf_pdf: pd.DataFrame, dl_pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+def write_terms_dictionary(postings: DataFrame, path: str) -> None:
+    """Dictionary derived from posting block metadata: df = Σ block n per
+    term, plus the shard list for query-side partition pruning (no extra
+    planning job at query time). The SINGLE implementation used by the full
+    build, the resumable build, and the incremental refresh — they must stay
+    byte-compatible. repartition (NOT coalesce) to a small file count:
+    coalesce would fuse into the agg stage and run the whole aggregation in
+    4 tasks — a hidden serial fraction that caps N→4N scaling."""
+    (
+        postings.groupBy("term")
+        .agg(
+            F.sum("n").alias("df"),
+            F.sort_array(F.collect_set("shard")).alias("shards"),
+        )
+        .repartition(4)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
 def build_postings_df(tf: DataFrame, doclen: DataFrame, n_shards: int) -> DataFrame:
     """tf ⋈(cogroup by shard) doclen → encoded blocks.
 
@@ -186,23 +206,7 @@ def write_index(
         )
 
     def _write_terms():
-        # dictionary derived from posting metadata (df = Σ block n per term)
-        # — aggregates ~|terms|·|shards| block rows (from the cached blocks)
-        # instead of re-shuffling the full tf relation. Each term also
-        # records WHICH shards hold it, so the query path partition-prunes
-        # postings and doclen from the dictionary lookup alone. repartition
-        # (NOT coalesce) to a small file count: coalesce would fuse into the
-        # agg stage and run the whole aggregation in 4 tasks.
-        (
-            postings.groupBy("term")
-            .agg(
-                F.sum("n").alias("df"),
-                F.sort_array(F.collect_set("shard")).alias("shards"),
-            )
-            .repartition(4)
-            .write.mode("overwrite")
-            .parquet(os.path.join(root, "terms"))
-        )
+        write_terms_dictionary(postings, os.path.join(root, "terms"))
 
     def _write_docs():
         if write_docs:

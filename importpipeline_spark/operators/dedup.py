@@ -288,6 +288,10 @@ def simhash_pairs(
             )
         ).alias("band", "bucket"),
     )
+    # persist: the 64-bit-sum simhash aggregation above is the expensive
+    # part, and it feeds the size agg, the semi-join, and BOTH self-join
+    # sides — without the cache each consumer recomputes it
+    bands = bands.persist()
     bands = _cap_buckets(bands, ["band", "bucket"], max_bucket_size, log_dropped)
     a, b = bands.alias("a"), bands.alias("b")
     cands = (

@@ -226,8 +226,20 @@ def map_reduce(
                 v = col.min()
             elif a.kind == "mean":
                 if a.int_mode:
-                    # floor(sum/count-of-non-null) — UndupActions.cs:171-191
-                    v = int(col.dropna().sum()) // int(col.count())
+                    # floor(sum(per-value truncations)/count-of-non-null) —
+                    # identical to the agg path's F.sum(c.cast('long'))/F.count
+                    # (UndupActions.cs:171-191); all-null group → null
+                    cnt = int(col.count())
+                    if cnt == 0:
+                        v = None
+                    else:
+                        import numpy as _np
+
+                        v = int(
+                            _np.trunc(
+                                col.dropna().to_numpy(dtype="float64")
+                            ).sum()
+                        ) // cnt
                 else:
                     v = col.mean()
             elif a.kind == "count":

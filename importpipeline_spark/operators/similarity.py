@@ -116,7 +116,11 @@ def _make_assign_udf(spark: SparkSession, centroids: List[List[float]]):
     """cell = argmax cosine vs a BROADCAST numpy centroid matrix, computed in
     one Arrow-batched matmul per batch. At real IVF sizes (thousands of
     cells × hundreds of dims) this replaces an n_cells-wide literal
-    expression tree with a (batch × dim) @ (dim × n_cells) BLAS call."""
+    expression tree with a (batch × dim) @ (dim × n_cells) BLAS call.
+
+    Returns (udf, broadcast handle) — the caller destroys the broadcast once
+    every plan using the udf has executed (a multi-MB matrix per Lloyd round
+    would otherwise pin driver+executor memory for the session lifetime)."""
     M = np.asarray(centroids, dtype=np.float64)
     norms = np.linalg.norm(M, axis=1)
     norms[norms == 0.0] = 1.0
@@ -129,7 +133,7 @@ def _make_assign_udf(spark: SparkSession, centroids: List[List[float]]):
             X = np.stack(s.to_numpy())  # (batch, dim); x-norm cancels in argmax
             yield pd.Series(np.argmax(X @ Mn, axis=1).astype("int32"))
 
-    return assign
+    return assign, bc
 
 
 def ivf_build(
@@ -161,7 +165,7 @@ def ivf_build(
         )
 
     for _ in range(iters):
-        assign = _make_assign_udf(spark, centroids)
+        assign, bc = _make_assign_udf(spark, centroids)
         assigned = df.select(
             F.col(vec_col).alias("__v"), assign(F.col(vec_col)).alias("cell")
         )
@@ -170,13 +174,14 @@ def ivf_build(
             .applyInPandas(mean_kernel, "cell int, centroid array<double>")
             .collect()  # ≤ n_cells rows — the per-round broadcast payload
         )
+        bc.destroy()  # round done; don't pin a matrix per round forever
         new_c = [list(c) for c in centroids]
         for r in rows:
             new_c[int(r.cell)] = [float(x) for x in r.centroid]
         centroids = new_c
-    out = df.withColumn(
-        "cell", _make_assign_udf(spark, centroids)(F.col(vec_col))
-    )
+    # the final assignment's broadcast must outlive the returned lazy frame
+    assign, _final_bc = _make_assign_udf(spark, centroids)
+    out = df.withColumn("cell", assign(F.col(vec_col)))
     return out, centroids
 
 
@@ -229,7 +234,11 @@ def embedding_neardup_pairs(
     cands = None
     for t in range(n_tables):
         planes = _hyperplanes(dim, n_planes, seed + t)
-        coded = base.withColumn("bucket", lsh_bucket_code(F.col("v"), planes))
+        # persist per table: the bucket-code projection feeds the size agg,
+        # the semi-join, and both self-join sides
+        coded = base.withColumn(
+            "bucket", lsh_bucket_code(F.col("v"), planes)
+        ).persist()
         coded = _cap_buckets(coded, ["bucket"], max_bucket_size, log_dropped)
         a, b = coded.alias("a"), coded.alias("b")
         pair = a.join(

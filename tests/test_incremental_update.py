@@ -207,3 +207,28 @@ def test_published_update_snapshot_isolation(spark, tmp_path):
     # engine path), and the old generation was GC-able only after publish
     gens = [d for d in os.listdir(store) if d.startswith("gen=")]
     assert len(gens) == 2  # keep_generations=2: old + new retained
+
+
+def test_published_gc_protects_live_generation(spark, tmp_path):
+    """An orphaned generation dir (hard-killed update) must not count toward
+    keep_generations and evict the predecessor readers still hold."""
+    import os
+
+    from importpipeline_spark.index.segments import (
+        init_published_index,
+        open_current_index,
+        update_index_published,
+    )
+
+    store = str(tmp_path / "store")
+    snap1 = gen_pages_df(spark, 50, seed=42, partitions=2)
+    gen_a = init_published_index(spark, snap1, store, n_shards=4).root
+    # fake a crash orphan that sorts NEWEST (worst case for naive keep-last-k)
+    orphan = os.path.join(store, "gen=99999999_999999_999999")
+    os.makedirs(orphan)
+    snap2 = gen_pages_df(spark, 60, seed=42, partitions=2)
+    gen_b = update_index_published(spark, store, snap2, keep_generations=2).root
+    assert os.path.isdir(gen_a), "live predecessor evicted by orphan"
+    assert os.path.isdir(gen_b)
+    assert not os.path.isdir(orphan), "crash orphan not cleaned"
+    assert open_current_index(store).root == gen_b

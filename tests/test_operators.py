@@ -391,3 +391,36 @@ def test_perl_regex(spark):
         parse_perl_regex("x/a/b/")
     with pytest.raises(ValueError, match="Invalid PerlRegex"):
         parse_perl_regex("s")
+
+
+def test_undup_script_int_mean_parity(spark):
+    """The script path's int-mode mean must equal the agg path's
+    floor(sum(per-value truncations)/count) on fractional values, and yield
+    null for all-null groups instead of crashing."""
+    df = spark.createDataFrame(
+        [(1, 1.5), (1, 0.6), (1, None), (2, None), (2, None),
+         (2, None), (3, -1.5), (3, -0.6)],
+        "k int, x double",
+    )
+    agg = {
+        r.k: r.m
+        for r in map_reduce(
+            df, [SortKey("k", "int")],
+            [UndupAction("mean", "x", "m", int_mode=True),
+             UndupAction("count", dest="c")],
+        ).collect()
+    }
+    script = {
+        r.k: r.m
+        for r in map_reduce(
+            df, [SortKey("k", "int")],
+            [UndupAction("mean", "x", "m", int_mode=True),
+             UndupAction("count", dest="c"),
+             UndupAction("script", fn=lambda pdf: None)],
+            order_by=[SortKey("x", "double")],
+        ).collect()
+    }
+    assert agg == script
+    assert agg[1] == 0       # floor((1+0)/2)
+    assert agg[2] is None    # all-null group
+    assert agg[3] == -1      # floor((-1+0)/2) = -1 (floor, not trunc)
