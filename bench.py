@@ -262,6 +262,17 @@ def headline() -> None:
     for q in WAND_QUERIES:
         bm25_topk_wand(spark, pidx, q, k=10).collect()
     times["wand_query_avg"] = round((time.perf_counter() - t0) / len(WAND_QUERIES), 3)
+    # batch path: the whole query set in ONE index pass (shared decode cache
+    # per shard) — the amortized shape for query workloads at scale
+    from importpipeline_spark.index.wand import bm25_topk_wand_batch
+
+    t0 = time.perf_counter()
+    bm25_topk_wand_batch(
+        spark, pidx, list(enumerate(WAND_QUERIES)), k=10
+    ).collect()
+    times["wand_batch_per_query"] = round(
+        (time.perf_counter() - t0) / len(WAND_QUERIES), 3
+    )
     total += build_sec
 
     # driver-local serving throughput (index resident, same kernels)
