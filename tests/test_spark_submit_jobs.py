@@ -1,0 +1,90 @@
+"""The north-rule execution contract: the SAME job runs via
+``spark-submit --py-files importpipeline_spark.zip`` with no repo on the
+python path — build an index, then query it, in two separate submissions
+(separate JVMs), exactly as a cluster would run them."""
+
+import json
+import os
+import shutil
+import subprocess
+import zipfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SPARK_SUBMIT = shutil.which("spark-submit") or "/opt/spark/bin/spark-submit"
+
+
+def _zip_package(dest_dir: str) -> str:
+    zpath = os.path.join(dest_dir, "importpipeline_spark.zip")
+    pkg = os.path.join(REPO, "importpipeline_spark")
+    with zipfile.ZipFile(zpath, "w") as z:
+        for base, _, files in os.walk(pkg):
+            if "__pycache__" in base:
+                continue
+            for f in files:
+                p = os.path.join(base, f)
+                z.write(p, os.path.relpath(p, REPO))
+    return zpath
+
+
+def _submit(args, cwd):
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)  # the zip must be the ONLY package source
+    proc = subprocess.run(
+        [SPARK_SUBMIT, "--master", "local[4]",
+         "--conf", "spark.sql.shuffle.partitions=8",
+         "--conf", "spark.ui.enabled=false",
+         "--conf", "spark.sql.session.timeZone=UTC",
+         *args],
+        capture_output=True, text=True, cwd=cwd, env=env, timeout=420,
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    return proc.stdout
+
+
+def test_spark_submit_build_then_query(spark, tmp_path):
+    # stage the input pages with the test session (plays the role of the
+    # upstream crawl table)
+    from importpipeline_spark.index.pagesgen import write_pages
+
+    pages_path = str(tmp_path / "pages")
+    write_pages(spark, pages_path, 800)
+
+    workdir = str(tmp_path / "work")  # NOT the repo: no implicit imports
+    os.makedirs(workdir)
+    zpath = _zip_package(workdir)
+    root = str(tmp_path / "idx")
+
+    out = _submit(
+        ["--py-files", zpath, os.path.join(REPO, "jobs", "build_index_job.py"),
+         "--input", pages_path, "--root", root, "--n-shards", "4",
+         "--run-id", "submit1", "--input-snapshot", "snapS"],
+        cwd=workdir,
+    )
+    stats = json.loads(out.strip().splitlines()[-1])
+    assert stats["n_docs"] == 800
+    assert stats["segments"] == 4
+    assert stats["lineage_docs"] == 800
+
+    qfile = str(tmp_path / "q.txt")
+    with open(qfile, "w") as f:
+        f.write("the\nof and\n")
+    out = _submit(
+        ["--py-files", zpath, os.path.join(REPO, "jobs", "query_topk_job.py"),
+         "--root", root, "--queries", qfile, "--k", "5"],
+        cwd=workdir,
+    )
+    rows = [line.split("\t") for line in out.strip().splitlines()
+            if line.count("\t") == 3]
+    assert len(rows) == 10  # 2 queries × top-5
+    # rank-identical to the in-process WAND path (same index, same engine)
+    from importpipeline_spark.index.store import open_index
+    from importpipeline_spark.index.wand import bm25_topk_wand
+
+    pidx = open_index(root)
+    expect = [
+        (qid, rank, r.doc_id)
+        for qid, q in enumerate(["the", "of and"])
+        for rank, r in enumerate(bm25_topk_wand(spark, pidx, q, k=5).collect(), 1)
+    ]
+    got = [(int(r[0]), int(r[1]), int(r[2])) for r in rows]
+    assert sorted(got) == sorted(expect)
