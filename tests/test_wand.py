@@ -83,3 +83,44 @@ def test_wand_k_variants(physical, spark):
         expected = oracle.topk(analyze_query("the of"), k=k)
         got = bm25_topk_wand(spark, pidx, "the of", k=k).collect()
         assert [r.doc_id for r in got] == [d for d, _ in expected], f"k={k}"
+
+
+def test_wand_multiblock_rank_identical(spark, tmp_path_factory, monkeypatch):
+    """Multi-block posting lists (the 100-TB shape): 3000 docs over 2 shards
+    puts head terms at ~12 blocks per shard, so block-max bounds, interval
+    construction, and cross-block accumulation are all live. Both the
+    distributed WAND path and the forced interval-sweep branch must stay
+    rank- and score-identical to the independent numpy oracle."""
+    from importpipeline_spark.index import wand as wand_mod
+    from importpipeline_spark.index.serve import LocalSearcher
+
+    root = str(tmp_path_factory.mktemp("mblock"))
+    pages = gen_pages_df(spark, 3000, seed=7, partitions=8)
+    pidx = write_index(spark, pages, root, n_shards=2)
+    idx = build_logical_index(pages, cache=False)
+    docs_local = [
+        (r.doc_id, r.tokens or [])
+        for r in idx.docs.select("doc_id", "tokens").collect()
+    ]
+    oracle = OracleIndex(docs_local)
+
+    # prove the corpus actually produces multi-block lists
+    post = spark.read.parquet(pidx.postings_path)
+    from pyspark.sql import functions as F
+
+    max_blocks = post.groupBy("term", "shard").count().agg(F.max("count")).first()[0]
+    assert max_blocks >= 8, f"fixture too small: max {max_blocks} blocks"
+
+    for q in ("the", "of and", "the of and to in", "der die und"):
+        for k in (10, 100):
+            got = [
+                (r.doc_id, r.score)
+                for r in bm25_topk_wand(spark, pidx, q, k=k).collect()
+            ]
+            assert got == oracle.topk(analyze_query(q), k=k), (q, k)
+
+    # force the interval-sweep pruning branch at the same size
+    monkeypatch.setattr(wand_mod, "_EXHAUSTIVE_CUTOFF", 0)
+    searcher = LocalSearcher(root)
+    for q in ("the", "of and", "the of and to in"):
+        assert searcher.search(q, k=10) == oracle.topk(analyze_query(q), k=10), q
