@@ -62,3 +62,93 @@ def test_windowed_lang_counts_schema(spark, tmp_path):
     rows = spark.sql("select * from wincounts").collect()
     assert sum(r.n_pages for r in rows) == 50
     assert {c for c in agg.columns} == {"window_start", "window_end", "lang", "n_pages"}
+
+
+def test_windowed_lang_counts_values_match_batch(spark, tmp_path):
+    """Per-(window, lang) streaming counts must equal the batch groupBy over
+    the same data — not just the grand total."""
+    inp = str(tmp_path / "in3")
+    pages = gen_pages_df(spark, 80, seed=11, partitions=2)
+    pages.write.parquet(inp)
+    agg = windowed_lang_counts(stream_pages(spark, inp), window="1 hour",
+                               watermark="2 hours")
+    q = (
+        agg.writeStream.format("memory").queryName("winvals")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.window_start, r.window_end, r.lang): r.n_pages
+        for r in spark.sql("select * from winvals").collect()
+    }
+    exp = {
+        (r.w.start, r.w.end, r.lang): r.n
+        for r in pages.groupBy(
+            F.window("warc_ts", "1 hour").alias("w"), "lang"
+        ).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == exp
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Append-mode watermark semantics across checkpointed runs: a second
+    availableNow run whose rows are 25h older than the persisted watermark
+    must emit nothing (late data dropped deterministically), while the first
+    run emits exactly the batch-computable finalized windows."""
+    inp = str(tmp_path / "late_in")
+    outp = str(tmp_path / "late_out")
+    ckpt = str(tmp_path / "late_ckpt")
+
+    # spread crawl times over ~8 hours so several 1h windows finalize
+    fresh = gen_pages_df(spark, 60, seed=3, partitions=1).withColumn(
+        "warc_ts",
+        F.col("warc_ts")
+        + (F.abs(F.xxhash64("url")) % 8).cast("int")
+        * F.expr("INTERVAL 1 HOUR"),
+    )
+    fresh.write.mode("append").parquet(inp)
+
+    def run_once():
+        agg = windowed_lang_counts(
+            stream_pages(spark, inp), window="1 hour", watermark="1 hour"
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", outp)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(outp)
+
+    r1 = run_once()
+    hi = fresh.agg(F.max("warc_ts")).first()[0]
+    emitted = {
+        (r.window_start, r.window_end, r.lang): r.n_pages for r in r1.collect()
+    }
+    # append mode finalizes exactly the windows ending at or before
+    # watermark = max event time - 1h; values match the batch groupBy
+    batch = {
+        (r.w.start, r.w.end, r.lang): r.n
+        for r in fresh.groupBy(F.window("warc_ts", "1 hour").alias("w"), "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    import datetime
+
+    expected = {
+        k: v for k, v in batch.items()
+        if k[1] <= hi - datetime.timedelta(hours=1)
+    }
+    assert emitted == expected
+    assert len(emitted) > 0
+
+    # batch 2: rows 25h older than everything seen -> beyond the persisted
+    # watermark -> dropped; the output must not change
+    fresh.limit(10).withColumn(
+        "warc_ts", F.col("warc_ts") - F.expr("INTERVAL 25 HOURS")
+    ).write.mode("append").parquet(inp)
+    r2 = run_once()
+    assert r2.count() == r1.count()
