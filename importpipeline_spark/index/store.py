@@ -99,21 +99,29 @@ def _encode_shard(tf_pdf: pd.DataFrame, dl_pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def write_terms_dictionary(postings: DataFrame, path: str) -> None:
+def write_terms_dictionary(postings: DataFrame, path: str, n_files: int = 4) -> None:
     """Dictionary derived from posting block metadata: df = Σ block n per
     term, plus the shard list for query-side partition pruning (no extra
     planning job at query time). The SINGLE implementation used by the full
     build, the resumable build, and the incremental refresh — they must stay
-    byte-compatible. repartition (NOT coalesce) to a small file count:
-    coalesce would fuse into the agg stage and run the whole aggregation in
-    4 tasks — a hidden serial fraction that caps N→4N scaling."""
+    byte-compatible.
+
+    Layout is query-shaped: hash-repartitioned BY TERM and sorted within
+    files, so a per-query ``In(term, …)`` lookup prunes on parquet row-group
+    min/max stats instead of scanning the whole dictionary — at 10^12 docs
+    the dictionary is ~10^8 terms and an unsorted scan per query would be the
+    planning bottleneck (n_files scales with |vocab| there). repartition
+    (NOT coalesce): coalesce would fuse into the agg stage and run the whole
+    aggregation in n_files tasks — a hidden serial fraction that caps N→4N
+    scaling."""
     (
         postings.groupBy("term")
         .agg(
             F.sum("n").alias("df"),
             F.sort_array(F.collect_set("shard")).alias("shards"),
         )
-        .repartition(4)
+        .repartition(n_files, "term")
+        .sortWithinPartitions("term")
         .write.mode("overwrite")
         .parquet(path)
     )
