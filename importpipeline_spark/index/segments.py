@@ -134,6 +134,9 @@ def build_index_resumable(
         docs = docs.persist()
         docs.drop("tokens").write.mode("overwrite").parquet(docs_path)
         errors.write.mode("overwrite").parquet(os.path.join(root, "errors"))
+        n_errors = int(
+            spark.read.parquet(os.path.join(root, "errors")).count()
+        )
         tf = build_tf(docs).persist()
         (
             docs.select("doc_id", "doc_len")
@@ -153,6 +156,8 @@ def build_index_resumable(
             block_size=BLOCK_SIZE,
             run_id=run_id,
             input_snapshot=input_snapshot,
+            # run-level error counter (ImportReport.cs:92-209 'errors')
+            n_errors=n_errors,
         )
         tmp = stats_path + ".tmp"
         with open(tmp, "w") as f:
@@ -313,12 +318,19 @@ def _refresh_stats_terms(spark, root: str, run_id: str, input_snapshot: str) -> 
     row = docs_df.agg(
         F.count(F.lit(1)).alias("n"), F.sum("doc_len").alias("t")
     ).first()
+    errors_path = os.path.join(root, "errors")
+    n_errors = (
+        int(spark.read.parquet(errors_path).count())
+        if os.path.exists(errors_path)
+        else 0
+    )
     stats.update(
         n_docs=int(row.n),
         total_tokens=int(row.t or 0),
         avgdl=(int(row.t or 0) / int(row.n)) if row.n else 0.0,
         run_id=run_id,
         input_snapshot=input_snapshot,
+        n_errors=n_errors,
     )
     from .store import write_terms_dictionary
 
@@ -423,6 +435,17 @@ def update_index(
     errors.write.mode("append").parquet(os.path.join(root, "errors"))
     if changed_docs.count() == 0:
         changed_docs.unpersist()
+        # the quarantine may still have grown (every changed page failed):
+        # keep the run-level error counter truthful even on the no-doc path
+        n_errors = int(
+            spark.read.parquet(os.path.join(root, "errors")).count()
+        )
+        if n_errors != stats.get("n_errors"):
+            stats["n_errors"] = n_errors
+            tmp = os.path.join(root, "stats.json.tmp")
+            with open(tmp, "w") as f:
+                json.dump(stats, f)
+            os.replace(tmp, os.path.join(root, "stats.json"))
         return PhysicalIndex(root=root, stats=stats)
 
     affected = sorted(

@@ -36,3 +36,34 @@ def test_build_docs_safe_quarantines_bad_rows(spark, monkeypatch):
     assert {r.url for r in err_rows} == {"u_bad"}
     assert "RecursionError" in err_rows[0].error
     assert err_rows[0].stage == "extract"
+
+
+def test_error_counter_in_index_stats(spark, tmp_path):
+    """Run-level quarantine counter (ImportReport 'errors'): the resumable
+    build and the incremental update both record n_errors in stats.json."""
+    from importpipeline_spark.index.segments import (
+        build_index_resumable,
+        update_index,
+    )
+
+    deep = ("<html><head><title>t</title></head><body>"
+            + "<div>" * 30000 + "x" + "</div>" * 30000 + "</body></html>")
+    good = gen_pages_df(spark, 40, seed=42, partitions=2)
+    bad = spark.createDataFrame(
+        [("u_bad", deep.encode())], "url string, html binary"
+    ).withColumn("warc_ts", F.current_timestamp()).withColumn(
+        "text", F.lit(None).cast("string")
+    ).withColumn("lang", F.lit("en"))
+    pages = good.unionByName(bad.select(*good.columns))
+
+    root = str(tmp_path / "erridx")
+    pidx = build_index_resumable(spark, pages, root, n_shards=2)
+    assert pidx.stats["n_errors"] == 1
+    assert pidx.stats["n_docs"] == 40
+
+    # update with one more poison page: counter accumulates (errors append)
+    bad2 = bad.withColumn("url", F.lit("u_bad2"))
+    upd = good.limit(0).unionByName(bad2.select(*good.columns))
+    pidx2 = update_index(spark, root, upd, run_id="r2", input_snapshot="s2")
+    assert pidx2.stats["n_errors"] == 2
+    assert pidx2.stats["n_docs"] == 40
