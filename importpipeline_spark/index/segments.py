@@ -49,6 +49,29 @@ SEGMENTS_SCHEMA = (
 )
 
 
+def _count_error_urls(spark: SparkSession, root: str) -> int:
+    """Run-level error counter = DISTINCT failed urls in the quarantine.
+
+    The errors dir is an append-only log (a page that keeps failing is
+    re-quarantined on every retry — by design, each run's failures are
+    recorded); the COUNTER must not inflate under the retry workflows
+    crash-recovery encourages, so it counts distinct urls, not log rows."""
+    p = os.path.join(root, "errors")
+    if not os.path.exists(p):
+        return 0
+    try:
+        return int(spark.read.parquet(p).select("url").distinct().count())
+    except Exception:
+        return 0  # empty dir with no parquet footers yet
+
+
+def _write_stats_atomic(root: str, stats: dict) -> None:
+    tmp = os.path.join(root, "stats.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(stats, f)
+    os.replace(tmp, os.path.join(root, "stats.json"))
+
+
 def _seg_dir(root: str) -> str:
     return os.path.join(root, "segments")
 
@@ -108,6 +131,7 @@ def build_index_resumable(
     run_id: str = "run1",
     input_snapshot: str = "snap1",
     fail_after_segment: int | None = None,
+    dict_files: int = 4,
 ) -> PhysicalIndex:
     """Segmented, resumable physical index build.
 
@@ -134,9 +158,7 @@ def build_index_resumable(
         docs = docs.persist()
         docs.drop("tokens").write.mode("overwrite").parquet(docs_path)
         errors.write.mode("overwrite").parquet(os.path.join(root, "errors"))
-        n_errors = int(
-            spark.read.parquet(os.path.join(root, "errors")).count()
-        )
+        n_errors = _count_error_urls(spark, root)
         tf = build_tf(docs).persist()
         (
             docs.select("doc_id", "doc_len")
@@ -159,10 +181,7 @@ def build_index_resumable(
             # run-level error counter (ImportReport.cs:92-209 'errors')
             n_errors=n_errors,
         )
-        tmp = stats_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(stats, f)
-        os.replace(tmp, stats_path)
+        _write_stats_atomic(root, stats)
         tf.unpersist()
         docs.unpersist()
     with open(stats_path) as f:
@@ -242,6 +261,7 @@ def build_index_resumable(
         spark.read.option("basePath", os.path.join(root, "postings"))
         .parquet(os.path.join(root, "postings")),
         os.path.join(root, "terms"),
+        dict_files,
     )
 
     return PhysicalIndex(root=root, stats=stats)
@@ -318,19 +338,13 @@ def _refresh_stats_terms(spark, root: str, run_id: str, input_snapshot: str) -> 
     row = docs_df.agg(
         F.count(F.lit(1)).alias("n"), F.sum("doc_len").alias("t")
     ).first()
-    errors_path = os.path.join(root, "errors")
-    n_errors = (
-        int(spark.read.parquet(errors_path).count())
-        if os.path.exists(errors_path)
-        else 0
-    )
     stats.update(
         n_docs=int(row.n),
         total_tokens=int(row.t or 0),
         avgdl=(int(row.t or 0) / int(row.n)) if row.n else 0.0,
         run_id=run_id,
         input_snapshot=input_snapshot,
-        n_errors=n_errors,
+        n_errors=_count_error_urls(spark, root),
     )
     from .store import write_terms_dictionary
 
@@ -344,10 +358,7 @@ def _refresh_stats_terms(spark, root: str, run_id: str, input_snapshot: str) -> 
     terms_path = os.path.join(root, "terms")
     shutil.rmtree(terms_path, ignore_errors=True)
     os.rename(terms_tmp, terms_path)
-    tmp = os.path.join(root, "stats.json.tmp")
-    with open(tmp, "w") as f:
-        json.dump(stats, f)
-    os.replace(tmp, os.path.join(root, "stats.json"))
+    _write_stats_atomic(root, stats)
     return stats
 
 
@@ -436,16 +447,13 @@ def update_index(
     if changed_docs.count() == 0:
         changed_docs.unpersist()
         # the quarantine may still have grown (every changed page failed):
-        # keep the run-level error counter truthful even on the no-doc path
-        n_errors = int(
-            spark.read.parquet(os.path.join(root, "errors")).count()
-        )
+        # keep the error counter truthful AND attribute it to THIS run
+        n_errors = _count_error_urls(spark, root)
         if n_errors != stats.get("n_errors"):
-            stats["n_errors"] = n_errors
-            tmp = os.path.join(root, "stats.json.tmp")
-            with open(tmp, "w") as f:
-                json.dump(stats, f)
-            os.replace(tmp, os.path.join(root, "stats.json"))
+            stats.update(
+                n_errors=n_errors, run_id=run_id, input_snapshot=input_snapshot
+            )
+            _write_stats_atomic(root, stats)
         return PhysicalIndex(root=root, stats=stats)
 
     affected = sorted(

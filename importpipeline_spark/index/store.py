@@ -174,6 +174,7 @@ def write_index(
     root: str,
     n_shards: int = 16,
     write_docs: bool = True,
+    dict_files: int = 4,
 ) -> PhysicalIndex:
     """Full build: pages → physical index at ``root``.
 
@@ -214,7 +215,7 @@ def write_index(
         )
 
     def _write_terms():
-        write_terms_dictionary(postings, os.path.join(root, "terms"))
+        write_terms_dictionary(postings, os.path.join(root, "terms"), dict_files)
 
     def _write_docs():
         if write_docs:

@@ -14,6 +14,7 @@ BM25 oracle (verified in tests/ against an independent scalar oracle).
 from __future__ import annotations
 
 import argparse
+import os
 
 from pyspark.sql import SparkSession
 
@@ -31,7 +32,17 @@ def main() -> None:
     from importpipeline_spark.index.store import open_index
     from importpipeline_spark.index.wand import bm25_topk_wand_batch
 
-    with open(args.queries) as f:
+    # --deploy-mode cluster: ship the file with --files queries.txt and pass
+    # --queries queries.txt; SparkFiles resolves it on whichever node the
+    # driver landed. A plain local path still works in client mode.
+    qpath = args.queries
+    if not os.path.exists(qpath):
+        from pyspark import SparkFiles
+
+        staged = SparkFiles.get(os.path.basename(qpath))
+        if os.path.exists(staged):
+            qpath = staged
+    with open(qpath) as f:
         queries = [(i, line.strip()) for i, line in enumerate(f) if line.strip()]
     pidx = open_index(args.root)
     out = bm25_topk_wand_batch(spark, pidx, queries, k=args.k)

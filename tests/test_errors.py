@@ -67,3 +67,15 @@ def test_error_counter_in_index_stats(spark, tmp_path):
     pidx2 = update_index(spark, root, upd, run_id="r2", input_snapshot="s2")
     assert pidx2.stats["n_errors"] == 2
     assert pidx2.stats["n_docs"] == 40
+    # provenance: even the no-doc path stamps the run that grew the counter
+    assert pidx2.stats["run_id"] == "r2"
+    assert pidx2.stats["input_snapshot"] == "s2"
+
+    # RETRYING the same failing update must not inflate the counter — the
+    # quarantine log grows (each run's failures are recorded) but the counter
+    # is distinct failed urls
+    pidx3 = update_index(spark, root, upd, run_id="r3", input_snapshot="s3")
+    assert pidx3.stats["n_errors"] == 2
+    log_rows = spark.read.parquet(f"{root}/errors")
+    assert log_rows.count() >= 3  # append-only log kept the retry record
+    assert log_rows.select("url").distinct().count() == 2

@@ -9,8 +9,15 @@ import shutil
 import subprocess
 import zipfile
 
+import pytest
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SPARK_SUBMIT = shutil.which("spark-submit") or "/opt/spark/bin/spark-submit"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(SPARK_SUBMIT),
+    reason="spark-submit binary not available on this host",
+)
 
 
 def _zip_package(dest_dir: str) -> str:

@@ -66,9 +66,16 @@ def test_windowed_lang_counts_schema(spark, tmp_path):
 
 def test_windowed_lang_counts_values_match_batch(spark, tmp_path):
     """Per-(window, lang) streaming counts must equal the batch groupBy over
-    the same data — not just the grand total."""
+    the same data — not just the grand total. Crawl times are spread over
+    ~6 hours so the assertion covers MULTIPLE 1h windows (the generator's
+    raw timestamps span only minutes — a single window would let wrong
+    window-bucketing pass)."""
     inp = str(tmp_path / "in3")
-    pages = gen_pages_df(spark, 80, seed=11, partitions=2)
+    pages = gen_pages_df(spark, 80, seed=11, partitions=2).withColumn(
+        "warc_ts",
+        F.col("warc_ts")
+        + (F.abs(F.xxhash64("url")) % 6).cast("int") * F.expr("INTERVAL 1 HOUR"),
+    )
     pages.write.parquet(inp)
     agg = windowed_lang_counts(stream_pages(spark, inp), window="1 hour",
                                watermark="2 hours")
@@ -87,6 +94,7 @@ def test_windowed_lang_counts_values_match_batch(spark, tmp_path):
             F.window("warc_ts", "1 hour").alias("w"), "lang"
         ).agg(F.count(F.lit(1)).alias("n")).collect()
     }
+    assert len({k[0] for k in exp}) >= 4, "fixture must span multiple windows"
     assert got == exp
 
 
