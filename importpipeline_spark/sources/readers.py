@@ -179,3 +179,117 @@ def read_html_files(spark: SparkSession, glob: str) -> DataFrame:
         )
         .withColumn("text", html_to_text_udf(F.col("html")))
     )
+
+
+def _xlsx_col_index(cell_ref: str) -> int:
+    """'BC12' → 0-based column index (54)."""
+    n = 0
+    for ch in cell_ref:
+        if not ch.isalpha():
+            break
+        n = n * 26 + (ord(ch.upper()) - ord("A") + 1)
+    return n - 1
+
+
+def _parse_xlsx(path: str):
+    """Minimal stdlib XLSX parse (xlsx = zipped SpreadsheetML) →
+    {sheet_name: [[cell-or-None, …], …]}. Handles shared strings, inline
+    strings, formula-cached strings, and numeric cells (kept as their raw
+    text — typing is the converter layer's job, as in the reference)."""
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+    NS_R = "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}"
+    NS_REL = "{http://schemas.openxmlformats.org/package/2006/relationships}"
+    with zipfile.ZipFile(path) as z:
+        shared = []
+        if "xl/sharedStrings.xml" in z.namelist():
+            root = ET.fromstring(z.read("xl/sharedStrings.xml"))
+            for si in root.findall(f"{NS}si"):
+                shared.append("".join(t.text or "" for t in si.iter(f"{NS}t")))
+        rels = {}
+        rel_root = ET.fromstring(z.read("xl/_rels/workbook.xml.rels"))
+        for rel in rel_root.findall(f"{NS_REL}Relationship"):
+            rels[rel.get("Id")] = rel.get("Target").lstrip("/")
+        wb = ET.fromstring(z.read("xl/workbook.xml"))
+        sheets = {}
+        for sh in wb.iter(f"{NS}sheet"):
+            target = rels[sh.get(f"{NS_R}id")]
+            if not target.startswith("xl/"):
+                target = "xl/" + target
+            ws = ET.fromstring(z.read(target))
+            rows = []
+            for row in ws.iter(f"{NS}row"):
+                cells: list = []
+                for c in row.findall(f"{NS}c"):
+                    idx = _xlsx_col_index(c.get("r", ""))
+                    while len(cells) <= idx:
+                        cells.append(None)
+                    ctype = c.get("t", "n")
+                    if ctype == "inlineStr":
+                        is_el = c.find(f"{NS}is")
+                        val = "".join(
+                            t.text or "" for t in is_el.iter(f"{NS}t")
+                        ) if is_el is not None else None
+                    else:
+                        v = c.find(f"{NS}v")
+                        val = None if v is None else v.text
+                        if ctype == "s" and val is not None:
+                            val = shared[int(val)]
+                    cells[idx] = val
+                rows.append(cells)
+            sheets[sh.get("name")] = rows
+    return sheets
+
+
+def read_excel(
+    spark: SparkSession,
+    path: str,
+    sheets: Optional[str] = None,
+    headers_at: int = -1,
+    start_at: int = 0,
+    prefix: Optional[str] = None,
+) -> DataFrame:
+    """ExcelDatasource equivalent (Datasources/ExcelDatasource.cs:38-181):
+    XLSX sheet scan with a case-insensitive sheet-name regex (@sheets), a
+    header row (@headersat; missing/blank header → ``f<idx>``, headers
+    lowercased — prepareEventKeys, ExcelDatasource.cs:47-69), and a
+    @startat data offset. All cells surface as strings (typing is the
+    converter layer, as in the reference).
+
+    The workbook is parsed driver-side with the stdlib (xlsx = zipped XML —
+    no Excel libraries in this environment); like read_csv's startat mode
+    this is a small-config-file construct: the parse is a one-shot driver
+    cost and the returned DataFrame is distributed.
+    """
+    import re as _re
+
+    if headers_at > start_at:
+        raise ValueError(
+            f"headers_at ({headers_at}) should be < start_at ({start_at})"
+        )
+    expr = _re.compile(sheets, _re.IGNORECASE) if sheets else None
+    out_rows = []
+    all_cols: list[str] = ["sheet"]
+    for name, rows in _parse_xlsx(path).items():
+        if expr is not None and not expr.search(name):
+            continue
+        n_cols = max((len(r) for r in rows), default=0)
+        headers = rows[headers_at] if 0 <= headers_at < len(rows) else []
+        cols = []
+        for i in range(n_cols):
+            h = headers[i] if i < len(headers) else None
+            h = h.strip().lower() if h and h.strip() else None
+            cols.append(h if h is not None else f"f{i}")
+        for c in cols:
+            if c not in all_cols:
+                all_cols.append(c)
+        for r in rows[start_at:]:
+            rec = {"sheet": (prefix or name).lower()}
+            for i, c in enumerate(cols):
+                rec[c] = r[i] if i < len(r) else None
+            out_rows.append(rec)
+    pdf_rows = [[rec.get(c) for c in all_cols] for rec in out_rows]
+    schema = ", ".join(f"`{c}` string" for c in all_cols)
+    return spark.createDataFrame(pdf_rows, schema)

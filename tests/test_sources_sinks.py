@@ -219,3 +219,87 @@ def test_gz_compressed_sources(spark, tmp_path):
     with gzip.open(json_gz, "wt") as f:
         f.write('{"k": 1}\n{"k": 2}\n')
     assert sorted(r.k for r in read_json(spark, str(json_gz)).collect()) == [1, 2]
+
+
+def _write_test_xlsx(path):
+    """Hand-rolled minimal XLSX (zip of SpreadsheetML) — independent of the
+    reader's parser."""
+    import zipfile
+
+    ct = """<?xml version="1.0"?>
+<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">
+ <Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>
+ <Default Extension="xml" ContentType="application/xml"/>
+ <Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>
+</Types>"""
+    root_rels = """<?xml version="1.0"?>
+<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+ <Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>
+</Relationships>"""
+    wb = """<?xml version="1.0"?>
+<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+ xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+ <sheets>
+  <sheet name="Orders2024" sheetId="1" r:id="rId1"/>
+  <sheet name="Notes" sheetId="2" r:id="rId2"/>
+ </sheets>
+</workbook>"""
+    wb_rels = """<?xml version="1.0"?>
+<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+ <Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>
+ <Relationship Id="rId2" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet2.xml"/>
+</Relationships>"""
+    shared = """<?xml version="1.0"?>
+<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="3" uniqueCount="3">
+ <si><t>Name</t></si><si><t>alpha</t></si><si><t>beta</t></si>
+</sst>"""
+    # header row at 1 (0-based 0), data from row 2; B header blank → f1;
+    # C2 inline string, sparse row 3 (missing B)
+    sheet1 = """<?xml version="1.0"?>
+<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+ <sheetData>
+  <row r="1"><c r="A1" t="s"><v>0</v></c><c r="C1" t="inlineStr"><is><t>Qty</t></is></c></row>
+  <row r="2"><c r="A2" t="s"><v>1</v></c><c r="B2"><v>1.5</v></c><c r="C2"><v>10</v></c></row>
+  <row r="3"><c r="A3" t="s"><v>2</v></c><c r="C3"><v>20</v></c></row>
+ </sheetData>
+</worksheet>"""
+    sheet2 = """<?xml version="1.0"?>
+<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+ <sheetData>
+  <row r="1"><c r="A1" t="inlineStr"><is><t>note one</t></is></c></row>
+ </sheetData>
+</worksheet>"""
+    with zipfile.ZipFile(path, "w") as z:
+        z.writestr("[Content_Types].xml", ct)
+        z.writestr("_rels/.rels", root_rels)
+        z.writestr("xl/workbook.xml", wb)
+        z.writestr("xl/_rels/workbook.xml.rels", wb_rels)
+        z.writestr("xl/sharedStrings.xml", shared)
+        z.writestr("xl/worksheets/sheet1.xml", sheet1)
+        z.writestr("xl/worksheets/sheet2.xml", sheet2)
+
+
+def test_excel_reader(spark, tmp_path):
+    """ExcelDatasource equivalent: sheet regex, header row (blank header →
+    f<idx>, lowercased), startat offset, shared/inline/numeric cells, sparse
+    rows."""
+    from importpipeline_spark.sources.readers import read_excel
+
+    p = str(tmp_path / "t.xlsx")
+    _write_test_xlsx(p)
+
+    got = read_excel(spark, p, sheets="^orders", headers_at=0, start_at=1)
+    rows = {r.name: r for r in got.collect()}
+    assert set(got.columns) == {"sheet", "name", "f1", "qty"}
+    assert set(rows) == {"alpha", "beta"}
+    assert rows["alpha"].f1 == "1.5" and rows["alpha"].qty == "10"
+    assert rows["beta"].f1 is None and rows["beta"].qty == "20"  # sparse row
+    assert rows["alpha"].sheet == "orders2024"
+
+    both = read_excel(spark, p)  # no filter, no headers: raw rows
+    assert both.count() == 4  # 3 + 1
+    assert "f0" in both.columns
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="headers_at"):
+        read_excel(spark, p, headers_at=2, start_at=1)
