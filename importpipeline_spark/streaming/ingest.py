@@ -82,3 +82,40 @@ def windowed_lang_counts(
             "n_pages",
         )
     )
+
+
+def run_streaming_index_maintenance(
+    spark: SparkSession,
+    input_path: str,
+    index_root: str,
+    checkpoint: str,
+) -> None:
+    """Streaming index maintenance: every micro-batch of newly-arrived page
+    files is applied to the physical index through the incremental update
+    path (foreachBatch → segments.update_index).
+
+    Layered exactly-once: the stream checkpoint guarantees each FILE is
+    consumed once, and update_index's ExistState classification makes any
+    re-delivered PAGE idempotent (ExistSame is skipped), so a crash between
+    the sink and the checkpoint commit cannot corrupt the index — the batch
+    is simply re-applied. ``Trigger.AvailableNow`` makes the same query a
+    scheduled catch-up job; a continuous trigger makes it a live maintainer.
+    The index must exist (write_index/build_index_resumable over the initial
+    corpus) before maintenance starts.
+    """
+    from ..index.segments import update_index
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        update_index(
+            spark, index_root, batch_df,
+            run_id=f"stream-{batch_id}", input_snapshot=f"batch-{batch_id}",
+        )
+
+    q = (
+        stream_pages(spark, input_path)
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

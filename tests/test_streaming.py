@@ -160,3 +160,53 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     ).write.mode("append").parquet(inp)
     r2 = run_once()
     assert r2.count() == r1.count()
+
+
+def test_streaming_index_maintenance(spark, tmp_path):
+    """foreachBatch → update_index keeps the physical index rank-identical
+    to a full rebuild over everything that has arrived; the checkpoint makes
+    a second run with no new files a no-op."""
+    from importpipeline_spark.index.store import open_index, write_index
+    from importpipeline_spark.index.wand import bm25_topk_wand
+    from importpipeline_spark.streaming.ingest import (
+        run_streaming_index_maintenance,
+    )
+
+    inp = str(tmp_path / "arrivals")
+    root = str(tmp_path / "idx")
+    ckpt = str(tmp_path / "ckpt")
+
+    initial = gen_pages_df(spark, 200, seed=42, partitions=4)
+    write_index(spark, initial, root, n_shards=4)
+
+    # arrival 1: 50 new urls land as stream files
+    gen_pages_df(spark, 250, seed=42, partitions=4).exceptAll(initial).write.mode(
+        "append"
+    ).parquet(inp)
+    run_streaming_index_maintenance(spark, inp, root, ckpt)
+    assert open_index(root).stats["n_docs"] == 250
+
+    # arrival 2: 30 more
+    gen_pages_df(spark, 280, seed=42, partitions=4).exceptAll(
+        gen_pages_df(spark, 250, seed=42, partitions=4)
+    ).write.mode("append").parquet(inp)
+    run_streaming_index_maintenance(spark, inp, root, ckpt)
+    pidx = open_index(root)
+    assert pidx.stats["n_docs"] == 280
+
+    # rank-identical to a batch build over the full corpus
+    full_root = str(tmp_path / "full")
+    pidx_full = write_index(
+        spark, gen_pages_df(spark, 280, seed=42, partitions=4), full_root,
+        n_shards=4,
+    )
+    for q in ("the", "of and", "ebakaba8"):
+        a = bm25_topk_wand(spark, pidx, q, k=10).collect()
+        b = bm25_topk_wand(spark, pidx_full, q, k=10).collect()
+        assert [(r.doc_id, r.score) for r in a] == [
+            (r.doc_id, r.score) for r in b
+        ], q
+
+    # no new files → checkpoint skips everything, stats unchanged
+    run_streaming_index_maintenance(spark, inp, root, ckpt)
+    assert open_index(root).stats["n_docs"] == 280
