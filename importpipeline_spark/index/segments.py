@@ -491,6 +491,68 @@ def update_index(
     return PhysicalIndex(root=root, stats=stats)
 
 
+def delete_from_index(
+    spark: SparkSession,
+    root: str,
+    urls: DataFrame,
+    run_id: str = "del1",
+    input_snapshot: str = "del1",
+) -> PhysicalIndex:
+    """Per-record delete on the physical index (the reference's delete action
+    reaching the store — ESIndexDocType.cs delete path): drop every doc whose
+    url appears in ``urls`` and re-encode ONLY the doc-range shards that held
+    them; untouched shards stay byte-identical (block bounds are
+    stats-independent). Same crash-safe swap+marker protocol as update_index:
+    a kill at any point is repaired by recover_update, which re-derives the
+    affected shards from the CURRENT docs table — correct both before and
+    after the docs swap.
+
+    ``urls`` must not lazily depend on this index's own docs table (the
+    delete replaces those files; a caller-side plan re-evaluated afterwards
+    would read gone paths) — pass a materialized or independent frame."""
+    recover_update(spark, root)
+
+    with open(os.path.join(root, "stats.json")) as f:
+        stats = json.load(f)
+    n_shards = int(stats["n_shards"])
+    docs_path = os.path.join(root, "docs")
+    old_docs = spark.read.parquet(docs_path)
+
+    urls_only = urls.select("url").distinct()
+    doomed = old_docs.join(urls_only, "url", "left_semi").persist()
+    affected = sorted(
+        int(r.s)
+        for r in doomed.select(
+            shard_of(F.col("doc_id"), n_shards).alias("s")
+        ).distinct().collect()
+    )
+    doomed.unpersist()
+    if not affected:
+        return PhysicalIndex(root=root, stats=stats)
+
+    merged = old_docs.join(urls_only, "url", "left_anti")
+    docs_tmp = docs_path + ".tmp"
+    merged.write.mode("overwrite").parquet(docs_tmp)
+
+    marker = _update_marker(root)
+    mk_tmp = marker + ".tmp"
+    with open(mk_tmp, "w") as f:
+        json.dump({"affected": affected, "n_shards": n_shards,
+                   "run_id": run_id, "input_snapshot": input_snapshot}, f)
+    os.replace(mk_tmp, marker)
+
+    docs_old = docs_path + ".old"
+    shutil.rmtree(docs_old, ignore_errors=True)
+    os.rename(docs_path, docs_old)
+    os.rename(docs_tmp, docs_path)
+
+    _rebuild_shards(spark, root, affected, n_shards, run_id, input_snapshot)
+    stats = _refresh_stats_terms(spark, root, run_id, input_snapshot)
+    os.remove(marker)
+    shutil.rmtree(docs_old, ignore_errors=True)
+    return PhysicalIndex(root=root, stats=stats)
+
+
 # ---- published (snapshot-isolated) index lifecycle ----
 #
 # update_index above mutates an index root in place: crash-safe (marker

@@ -232,3 +232,55 @@ def test_published_gc_protects_live_generation(spark, tmp_path):
     assert os.path.isdir(gen_b)
     assert not os.path.isdir(orphan), "crash orphan not cleaned"
     assert open_current_index(store).root == gen_b
+
+
+def test_delete_from_index_rank_identical(spark, tmp_path):
+    """Deleting docs re-encodes only their shards; results equal a full
+    rebuild over the surviving corpus — including df/idf shifts (deleted
+    docs must stop matching AND stop influencing scores)."""
+    from pyspark.sql import functions as SF
+
+    from importpipeline_spark.index.segments import delete_from_index
+
+    root = str(tmp_path / "delidx")
+    pages = gen_pages_df(spark, 300, seed=42, partitions=4)
+    write_index(spark, pages, root, n_shards=4)
+
+    # delete 40 docs, deliberately including current top hits for 'the'
+    top = bm25_topk_wand(
+        spark, __import__("importpipeline_spark.index.store",
+                          fromlist=["open_index"]).open_index(root),
+        "the", k=5,
+    ).collect()
+    doomed_ids = {r.doc_id for r in top[:3]}
+    docs = spark.read.parquet(f"{root}/docs")
+    doomed_urls = docs.where(SF.col("doc_id").isin(list(doomed_ids))).select("url")
+    more = docs.orderBy("doc_id").limit(37).select("url")
+    # materialize: the lazy plan references the pre-delete docs files, which
+    # the delete replaces — re-evaluating it afterwards would read gone files
+    urls = sorted({r.url for r in doomed_urls.unionByName(more).collect()})
+    del_urls = spark.createDataFrame([(u,) for u in urls], "url string")
+    n_del = len(urls)
+
+    pidx = delete_from_index(spark, root, del_urls)
+    assert pidx.stats["n_docs"] == 300 - n_del
+
+    survivors = pages.join(del_urls, "url", "left_anti")
+    full_root = str(tmp_path / "delfull")
+    pidx_full = write_index(spark, survivors, full_root, n_shards=4)
+    assert pidx.stats["avgdl"] == pidx_full.stats["avgdl"]
+    for q in QUERIES:
+        a = bm25_topk_wand(spark, pidx, q, k=10).collect()
+        b = bm25_topk_wand(spark, pidx_full, q, k=10).collect()
+        assert [(r.doc_id, r.score) for r in a] == [
+            (r.doc_id, r.score) for r in b
+        ], q
+    got_ids = {
+        r.doc_id for r in bm25_topk_wand(spark, pidx, "the", k=10).collect()
+    }
+    assert not (got_ids & doomed_ids)
+
+    # deleting urls that don't exist is a no-op
+    ghost = spark.createDataFrame([("u_ghost",)], "url string")
+    pidx2 = delete_from_index(spark, root, ghost, run_id="del2")
+    assert pidx2.stats["n_docs"] == 300 - n_del
