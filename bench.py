@@ -140,7 +140,7 @@ def _measure_pair(n_docs: int, out_root: str, cores_pair, repeats: int):
 
 
 def scaling(n_docs: int, out_root: str = "/tmp/bench_scaling",
-            pairs=((1, 4), (2, 8)), repeats: int = 2) -> None:
+            pairs=((1, 4), (2, 8)), repeats: int = 3) -> None:
     """N vs 4N parallelism on identical input, at two pair sizes.
 
     This host reports 32 logical CPUs but raw multiprocessing measures only
@@ -192,6 +192,14 @@ work), so the engine's scaling is always read against what the host can
 physically express at measurement time. Runs are interleaved and the
 per-level minimum is reported. WAND query latency (avg of
 {len(WAND_QUERIES)} queries) is recorded per level in the JSON line.
+
+Measurement-window note: this shared VM's absolute throughput and raw-CPU
+ceiling both move with neighbor load (git history of this file shows
+window-to-window drift in both directions). The ceiling column is measured
+in the same window as each pair precisely so the efficiency reading stays
+meaningful under that drift; the physically-backed 1→4 pair is the stable
+headline, and runs are repeated {repeats}× interleaved with the per-level
+minimum taken.
 
 ## Scale projection (design target: 10^12 docs)
 
@@ -306,10 +314,11 @@ if __name__ == "__main__":
     ap.add_argument("--cores", type=int, default=8)
     ap.add_argument("--docs", type=int, default=60000)
     ap.add_argument("--out", default="/tmp/bench_scaling")
+    ap.add_argument("--repeats", type=int, default=3)
     args = ap.parse_args()
     if args.build_only:
         print(json.dumps(run_build(args.cores, args.docs, args.out)))
     elif args.scaling:
-        scaling(args.docs, args.out)
+        scaling(args.docs, args.out, repeats=args.repeats)
     else:
         headline()
