@@ -271,9 +271,14 @@ def headline() -> None:
         bm25_topk_wand(spark, pidx, q, k=10).collect()
     times["wand_query_avg"] = round((time.perf_counter() - t0) / len(WAND_QUERIES), 3)
     # batch path: the whole query set in ONE index pass (shared decode cache
-    # per shard) — the amortized shape for query workloads at scale
+    # per shard) — the amortized shape for query workloads at scale. One
+    # untimed warmup pass first: the batch kernel/window plan is distinct
+    # from the single-query path's, and its first run pays one-off codegen +
+    # worker state that a steady-state workload would not (measured 4s cold
+    # vs 0.7s warm for the identical pass).
     from importpipeline_spark.index.wand import bm25_topk_wand_batch
 
+    bm25_topk_wand_batch(spark, pidx, [(0, WAND_QUERIES[0])], k=10).collect()
     t0 = time.perf_counter()
     bm25_topk_wand_batch(
         spark, pidx, list(enumerate(WAND_QUERIES)), k=10
