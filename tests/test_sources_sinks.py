@@ -194,8 +194,8 @@ def test_jdbc_derby_roundtrip(spark, tmp_path):
 def test_gz_compressed_sources(spark, tmp_path):
     """Remote/compressed stream providers (SURVEY §2.1): the reference's gz
     stream wrapper maps to Hadoop's transparent codec handling — the SAME
-    readers consume .gz files with no code change. (HTTP/SSH providers map to
-    Hadoop filesystem URIs and need live endpoints, out of sandbox reach.)"""
+    readers consume .gz files with no code change. (HTTP is covered for real
+    by test_http_stream_provider; SSH needs an sshd, out of sandbox reach.)"""
     import gzip
 
     from importpipeline_spark.sources.readers import (
@@ -303,3 +303,61 @@ def test_excel_reader(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="headers_at"):
         read_excel(spark, p, headers_at=2, start_at=1)
+
+
+def test_http_stream_provider(spark, tmp_path):
+    """WebStreamProvider (StreamProviders/WebStreamProvider.cs:34-104)
+    exercised against a REAL http server (stdlib, loopback): distributed
+    fetch, @root-relative resolution, gz transparency, and the lenient
+    per-record error capture (BMWebException → quarantine columns)."""
+    import functools
+    import gzip
+    import http.server
+    import threading
+
+    from importpipeline_spark.sources.readers import read_http
+
+    (tmp_path / "a.txt").write_bytes(b"hello world")
+    (tmp_path / "t.csv").write_bytes(b"a,b\n1,x\n2,y\n")
+    (tmp_path / "z.gz").write_bytes(gzip.compress(b"compressed payload"))
+    handler = functools.partial(
+        http.server.SimpleHTTPRequestHandler, directory=str(tmp_path)
+    )
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        base = f"http://127.0.0.1:{srv.server_address[1]}/"
+
+        # absolute urls: exact bytes back, per-url status
+        got = {
+            r.url: r
+            for r in read_http(
+                spark, [base + "a.txt", base + "t.csv", base + "z.gz"]
+            ).collect()
+        }
+        assert got[base + "a.txt"].content == b"hello world"
+        assert got[base + "a.txt"].status == 200
+        assert got[base + "t.csv"].length == len(b"a,b\n1,x\n2,y\n")
+        assert got[base + "z.gz"].content == b"compressed payload"  # gz-transparent
+        assert all(r.error is None for r in got.values())
+
+        # @root-relative resolution (WebStreamProvider.cs:45-47)
+        rel = read_http(spark, ["a.txt"], root=base).collect()
+        assert rel[0].url == base + "a.txt" and rel[0].content == b"hello world"
+
+        # lenient: a 404 is captured per-record, fetch job still succeeds
+        bad = read_http(spark, [base + "missing.txt"]).collect()[0]
+        assert bad.status == 404 and bad.content is None
+        assert "404" in bad.error
+
+        # strict: the same failure raises (BMWebException semantics)
+        import pytest as _pytest
+
+        with _pytest.raises(Exception, match="fetch failed"):
+            read_http(spark, [base + "missing.txt"], lenient=False).collect()
+
+        # DataFrame input composes with the rest of the engine
+        url_df = spark.createDataFrame([(base + "a.txt",)], "url string")
+        assert read_http(spark, url_df).collect()[0].content == b"hello world"
+    finally:
+        srv.shutdown()
