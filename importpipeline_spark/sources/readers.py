@@ -254,6 +254,59 @@ def read_http(
     return url_df.mapInPandas(fetch, out_schema)
 
 
+def read_shell_lines(
+    spark: SparkSession,
+    cmd,
+    args: Optional[str] = None,
+    via_shell: bool = False,
+    ok_errors: tuple = (),
+    ignore_errors: tuple = (),
+    stderr_to_stdout: bool = False,
+    timeout_s: int = 300,
+    n_partitions: int = 8,
+) -> DataFrame:
+    """ShellStreamProvider equivalent (StreamProviders/ShellStreamProvider.cs:
+    15-560): run a command and expose its stdout lines as a DataFrame.
+
+    Exit-code contract mirrors the reference's ProcessResultTypes
+    (ShellStreamProvider.cs:66-69): 0 and ``ok_errors`` yield records,
+    ``ignore_errors`` yields a null stream (empty frame, no failure),
+    anything else raises. ``via_shell`` = the reference's ``@viashell``
+    (string through the shell; mutually exclusive with ``args``),
+    ``stderr_to_stdout`` = ``@stderr_to_stdout``.
+
+    The process runs once, driver-side — a stream provider is config-level
+    input acquisition (one process per provider in the reference too); its
+    output is immediately distributed over ``n_partitions`` so everything
+    downstream is executor-parallel. For per-record commands at scale, land
+    the output to files and use the file readers instead.
+    """
+    import subprocess
+
+    if via_shell and args is not None:
+        raise ValueError("args cannot be specified when via_shell=True")
+    argv = cmd if via_shell else ([cmd] + (args.split() if args else [])
+                                  if isinstance(cmd, str) else list(cmd))
+    proc = subprocess.run(
+        argv,
+        shell=via_shell,
+        stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT if stderr_to_stdout else subprocess.PIPE,
+        timeout=timeout_s,
+    )
+    rc = proc.returncode
+    if rc != 0 and rc not in ok_errors:
+        if rc in ignore_errors:
+            return spark.createDataFrame([], "line_no long, line string")
+        raise RuntimeError(
+            f"shell provider exited {rc}: {(proc.stderr or b'')[:500]!r}"
+        )
+    lines = proc.stdout.decode("utf-8", errors="replace").splitlines()
+    return spark.createDataFrame(
+        list(enumerate(lines)), "line_no long, line string"
+    ).repartition(n_partitions)
+
+
 def read_html_files(spark: SparkSession, glob: str) -> DataFrame:
     """TikaDS/HtmlDatasource replacement: binaryFile scan + Arrow extraction
     UDF (TikaDataSource.cs:45-294 without the external Tika service)."""

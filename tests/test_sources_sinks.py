@@ -361,3 +361,46 @@ def test_http_stream_provider(spark, tmp_path):
         assert read_http(spark, url_df).collect()[0].content == b"hello world"
     finally:
         srv.shutdown()
+
+
+def test_shell_stream_provider(spark):
+    """ShellStreamProvider (StreamProviders/ShellStreamProvider.cs:15-560):
+    command stdout → records; the reference's exit-code classes (@ok_errors
+    accepted, @ignore_errors → null stream, others fail) and
+    @viashell/@stderr_to_stdout semantics."""
+    import pytest as _pytest
+
+    from importpipeline_spark.sources.readers import read_shell_lines
+
+    got = read_shell_lines(spark, "printf 'alpha\\nbeta\\n'", via_shell=True)
+    assert [r.line for r in got.orderBy("line_no").collect()] == ["alpha", "beta"]
+
+    # argv form (no shell)
+    got = read_shell_lines(spark, ["printf", "x\\ny\\n"])
+    assert got.count() == 2
+
+    # ok_errors: the listed nonzero code still yields the stream
+    got = read_shell_lines(
+        spark, "printf 'z\\n'; exit 3", via_shell=True, ok_errors=(3,)
+    )
+    assert [r.line for r in got.collect()] == ["z"]
+
+    # ignore_errors: null stream (empty frame, no failure)
+    got = read_shell_lines(
+        spark, "exit 4", via_shell=True, ignore_errors=(4,)
+    )
+    assert got.count() == 0 and got.columns == ["line_no", "line"]
+
+    # any other nonzero code raises
+    with _pytest.raises(RuntimeError, match="exited 5"):
+        read_shell_lines(spark, "exit 5", via_shell=True)
+
+    # stderr_to_stdout merges streams (reference @stderr_to_stdout)
+    got = read_shell_lines(
+        spark, "echo out; echo err 1>&2", via_shell=True, stderr_to_stdout=True
+    )
+    assert {r.line for r in got.collect()} == {"out", "err"}
+
+    # @viashell excludes @args (ShellStreamProvider.cs:77)
+    with _pytest.raises(ValueError, match="args"):
+        read_shell_lines(spark, "echo", args="x", via_shell=True)
