@@ -43,9 +43,6 @@ import html as _htmlmod
 import re
 import sys
 
-# the DOM walk is recursive; pathological real-world pages nest deeply
-if sys.getrecursionlimit() < 20000:
-    sys.setrecursionlimit(20000)
 from html.parser import HTMLParser
 from typing import List, Optional
 
@@ -312,6 +309,11 @@ def _fast_parse(html: str) -> _Elem:
 
 
 def parse_html(html: str) -> _Elem:
+    # the DOM walk is recursive; pathological real-world pages nest deeply.
+    # Raised here (not at import) so importing the module has no interpreter-
+    # wide side effect; parse entry is the only path that recurses.
+    if sys.getrecursionlimit() < 20000:
+        sys.setrecursionlimit(20000)
     try:
         return _fast_parse(html)
     except _FastUnsupported:

@@ -8,6 +8,7 @@ generation/atomic-publish lifecycle.
 | TextEndpoint  | Endpoints/TextEndpoint.cs:36-150 | write_text (format_string) |
 | generations + alias flip | Endpoints/ESIndexDefinitions.cs:375-541 | write_generation / publish_generation |
 | optimize to N segments | ESIndexDefinitions.cs:452-458 | compact() (sortWithinPartitions+coalesce) |
+| CommandEndpoint | Endpoints/CommandEndpoint.cs:37-260 | write_command (exec/delete/copy/move per record) |
 """
 
 from __future__ import annotations
@@ -62,6 +63,83 @@ def current_generation(root: str) -> str | None:
         return None
     with open(p) as f:
         return os.path.join(root, f.read().strip())
+
+
+def write_command(
+    df: DataFrame,
+    op: str,
+    fields: list,
+    cmd: str | None = None,
+    src: str | None = None,
+    dst: str | None = None,
+    working_dir: str | None = None,
+    errors_as_warning: bool = False,
+    timeout_s: int = 10,
+) -> None:
+    """CommandEndpoint (Endpoints/CommandEndpoint.cs:37-260): execute a
+    side-effecting command per record — ``op`` is one of the reference's
+    command kinds ``exec``/``delete``/``copy``/``move``. Templates use
+    ``{0}``/``{1}`` placeholders filled from ``fields`` of each record
+    (Invariant.Format over @arguments, CommandEndpoint.cs:124-141).
+
+    Spark shape: the side effects run EXECUTOR-side via foreachPartition
+    (one task per partition bounds process fan-out — the action equivalent
+    of a sink); a nonzero exit / failed file op raises and fails the task
+    (the reference's BMException) unless ``errors_as_warning``
+    (CommandEndpoint.cs:143-150), which logs to stderr and continues.
+    exec gets the reference's 10s default timeout (CommandEndpoint.cs:175).
+    """
+    if op not in ("exec", "delete", "copy", "move"):
+        raise ValueError(f"unknown command op: {op}")
+    if op == "exec" and cmd is None:
+        raise ValueError("exec requires cmd")
+    if op in ("delete", "copy", "move") and src is None:
+        raise ValueError(f"{op} requires src")
+    if op in ("copy", "move") and dst is None:
+        raise ValueError(f"{op} requires dst")
+    sel = df.select(*fields)
+
+    def run_partition(rows):
+        import os as _os
+        import shutil as _shutil
+        import subprocess as _sp
+        import sys as _sys
+
+        def issue(msg):
+            if errors_as_warning:
+                print(f"write_command warning: {msg}", file=_sys.stderr)
+            else:
+                raise RuntimeError(msg)
+
+        def resolve(template, parms):
+            p = template.format(*parms)
+            return _os.path.join(working_dir, p) if working_dir else p
+
+        for row in rows:
+            parms = ["" if v is None else v for v in row]
+            try:
+                if op == "exec":
+                    actual = cmd.format(*parms)
+                    proc = _sp.run(
+                        actual, shell=True, cwd=working_dir,
+                        capture_output=True, timeout=timeout_s,
+                    )
+                    if proc.returncode != 0:
+                        issue(
+                            f"{actual!r} ended with rc={proc.returncode}"
+                        )
+                elif op == "delete":
+                    _os.remove(resolve(src, parms))
+                elif op == "copy":
+                    _shutil.copyfile(resolve(src, parms), resolve(dst, parms))
+                else:  # move
+                    _shutil.move(resolve(src, parms), resolve(dst, parms))
+            except RuntimeError:
+                raise
+            except Exception as e:
+                issue(str(e))
+
+    sel.foreachPartition(run_partition)
 
 
 def compact(df: DataFrame, path: str, sort_cols: list, n_files: int) -> None:

@@ -8,6 +8,10 @@ Spark's native readers that reproduce the reference's datasource options.
 | JsonDatasource  | Datasources/JsonDatasource.cs:45-199  | read_json |
 | XmlDatasource   | Datasources/XmlDatasource.cs:44-148   | read_xml_elements (xpath funcs) |
 | FileNameDatasource | Datasources/FileNameDatasource.cs:35-51 | read_file_names |
+| WebStreamProvider | StreamProviders/WebStreamProvider.cs:34-104 | read_http |
+| ShellStreamProvider | StreamProviders/ShellStreamProvider.cs:15-560 | read_shell_lines |
+| ExcelDatasource | Datasources/ExcelDatasource.cs:38-181 | read_excel |
+| SqlDatasource | Datasources/SqlDatasource.cs:35-291 | read_jdbc |
 | TikaDS/HtmlDatasource | Datasources/TikaDataSource.cs:45-294 | read_html_files (binaryFile + extraction UDF) |
 | file enumeration filters | StreamProviders/FileStreamDirectory.cs:33-293 | glob + modifiedAfter options |
 

@@ -404,3 +404,49 @@ def test_shell_stream_provider(spark):
     # @viashell excludes @args (ShellStreamProvider.cs:77)
     with _pytest.raises(ValueError, match="args"):
         read_shell_lines(spark, "echo", args="x", via_shell=True)
+
+
+def test_command_endpoint(spark, tmp_path):
+    """CommandEndpoint (Endpoints/CommandEndpoint.cs:37-260): per-record
+    exec/delete/copy/move with {0}-formatted arguments from record fields,
+    errors-as-warning vs hard failure."""
+    import os
+
+    import pytest as _pytest
+
+    from importpipeline_spark.sinks.writers import write_command
+
+    names = ["r1", "r2", "r3"]
+    df = spark.createDataFrame([(n,) for n in names], "name string")
+
+    # exec: one command per record (touch), executor-side
+    write_command(
+        df, "exec", ["name"], cmd="touch {0}.flag", working_dir=str(tmp_path)
+    )
+    assert all(os.path.exists(tmp_path / f"{n}.flag") for n in names)
+
+    # copy then move then delete, all record-driven
+    write_command(df, "copy", ["name"], src="{0}.flag", dst="{0}.copy",
+                  working_dir=str(tmp_path))
+    assert all(os.path.exists(tmp_path / f"{n}.copy") for n in names)
+    write_command(df, "move", ["name"], src="{0}.copy", dst="{0}.moved",
+                  working_dir=str(tmp_path))
+    assert all(os.path.exists(tmp_path / f"{n}.moved") for n in names)
+    assert not any(os.path.exists(tmp_path / f"{n}.copy") for n in names)
+    write_command(df, "delete", ["name"], src="{0}.flag",
+                  working_dir=str(tmp_path))
+    assert not any(os.path.exists(tmp_path / f"{n}.flag") for n in names)
+
+    # nonzero rc fails the job (BMException semantics)…
+    with _pytest.raises(Exception, match="rc=7"):
+        write_command(df, "exec", ["name"], cmd="exit 7")
+
+    # …unless errors_as_warning (CommandEndpoint.cs:143-150)
+    write_command(df, "exec", ["name"], cmd="exit 7", errors_as_warning=True)
+
+    # missing-file delete follows the same error contract
+    with _pytest.raises(Exception, match="gone"):
+        write_command(df, "delete", ["name"], src="gone-{0}",
+                      working_dir=str(tmp_path))
+    write_command(df, "delete", ["name"], src="gone-{0}",
+                  working_dir=str(tmp_path), errors_as_warning=True)
