@@ -548,6 +548,28 @@ def q_ann_lsh_topk(spark, sf_dir):
     )
 
 
+def q_ivf_ann_topk(spark, sf_dir):
+    """IVF ANN machinery end-to-end (build → assignment → centroid-ranked
+    probe → within-cell exact cosine), oracle-checked at the parameter point
+    where IVF is provably exact: n_probe == n_cells probes every cell, so
+    the result EQUALS the brute-force top-10 (the same strategy as the
+    minhash r=1 oracle). Selectivity at n_probe < n_cells has no SQL oracle
+    by construction (the probed-cell set is not SQL-derivable); its recall
+    is measured in tests/test_dedup_similarity.py (test_ivf_ann_recall:
+    8-9/10 at 4/16 cells probed on this clusterless synthetic fixture)."""
+    from importpipeline_spark.operators.similarity import cosine_topk_ivf, ivf_build
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).first().embedding]
+    rest = emb.where(F.col("vec_id") != 0)
+    with_cells, centroids = ivf_build(rest, n_cells=16, iters=3)
+    ann = cosine_topk_ivf(with_cells, centroids, qvec, k=10, n_probe=16)
+    top = _rank_bounded(ann, F.col("cosine").desc(), F.col("vec_id").asc())
+    return top.select(
+        "rank", "vec_id", F.round("cosine", 4).alias("cosine")
+    )
+
+
 def q_multimodal_meta(spark, sf_dir):
     """Multimodal plumbing: documents → opaque binary payload + typed
     metadata via the stubbed decode path (operators/multimodal.py). The
@@ -597,6 +619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_dups": q_minhash_lsh_dups,
         "simhash_pairs": q_simhash_pairs,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ivf_ann_topk": q_ivf_ann_topk,
         "multimodal_meta": q_multimodal_meta,
     }
 
@@ -818,6 +841,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id ASC) AS rank,
                    vec_id, ROUND(cosine, 4) AS cosine,
                    CAST(1 AS BIGINT) AS found
+            FROM scored ORDER BY cosine DESC, vec_id ASC LIMIT 10
+        """,
+        "ivf_ann_topk": """
+            WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+            scored AS (
+                SELECT vec_id,
+                       list_cosine_similarity(
+                           CAST(embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])) AS cosine
+                FROM embeddings, q WHERE vec_id != 0
+            )
+            SELECT ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id ASC) AS rank,
+                   vec_id, ROUND(cosine, 4) AS cosine
             FROM scored ORDER BY cosine DESC, vec_id ASC LIMIT 10
         """,
         "multimodal_meta": """
