@@ -56,3 +56,112 @@ def test_frame_sample_explode(spark):
     assert len(rows) == 5
     assert sorted(r.frame_idx for r in rows) == list(range(5))
     assert all(r.frame_key == f"7:{r.frame_idx}" for r in rows)
+
+
+# ---- real codecs: P6 PPM images, WAV audio, PPM-sequence video ----------
+
+
+def _ppm_image(w, h, seed):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+def test_ppm_roundtrip_and_malformed():
+    import numpy as np
+
+    from importpipeline_spark.operators.multimodal import decode_ppm, encode_ppm
+
+    img = _ppm_image(13, 7, 1)
+    assert np.array_equal(decode_ppm(encode_ppm(img)), img)
+    with pytest.raises(ValueError, match="P6"):
+        decode_ppm(b"JFIFxxxx")
+    with pytest.raises(ValueError, match="truncated"):
+        decode_ppm(encode_ppm(img)[:-5])
+
+
+def test_image_features_real_decode(spark):
+    import numpy as np
+
+    from importpipeline_spark.operators.multimodal import encode_ppm, image_features
+
+    imgs = {i: _ppm_image(8 + i, 6 + i, i) for i in range(1, 4)}
+    df = spark.createDataFrame(
+        [(i, bytearray(encode_ppm(im))) for i, im in imgs.items()],
+        "doc_id long, payload binary",
+    )
+    got = {r.doc_id: r for r in image_features(df).collect()}
+    for i, im in imgs.items():
+        m = im.reshape(-1, 3).mean(axis=0)
+        assert (got[i].width, got[i].height) == (im.shape[1], im.shape[0])
+        assert got[i].mean_r == round(float(m[0]), 4)
+        assert got[i].mean_b == round(float(m[2]), 4)
+
+
+def test_resize_images_real(spark):
+    import numpy as np
+
+    from importpipeline_spark.operators.multimodal import (
+        decode_ppm,
+        encode_ppm,
+        resize_images,
+        resize_nearest,
+    )
+
+    img = _ppm_image(16, 12, 9)
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_ppm(img)))], "doc_id long, payload binary"
+    )
+    out = resize_images(df, 8, 6).collect()[0]
+    got = decode_ppm(bytes(out.payload))
+    assert got.shape == (6, 8, 3)
+    assert np.array_equal(got, resize_nearest(img, 8, 6))  # same kernel, via Spark
+
+
+def test_audio_features_real_wav(spark):
+    import io
+    import math
+    import wave
+
+    import numpy as np
+
+    from importpipeline_spark.operators.multimodal import audio_features
+
+    # 0.5s of a full-scale-/2 sine at 440 Hz, 16-bit mono, 8 kHz
+    rate, dur = 8000, 0.5
+    t = np.arange(int(rate * dur)) / rate
+    x = (0.5 * np.sin(2 * np.pi * 440 * t) * 32767).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(x.tobytes())
+    df = spark.createDataFrame(
+        [(1, bytearray(buf.getvalue()))], "doc_id long, payload binary"
+    )
+    r = audio_features(df).collect()[0]
+    assert (r.rate, r.channels, r.duration_s) == (rate, 1, 0.5)
+    # RMS of a 0.5-amplitude sine = 0.5/sqrt(2), within quantization error
+    assert abs(r.rms - 0.5 / math.sqrt(2)) < 1e-3
+
+
+def test_frame_sample_real_video(spark):
+    import numpy as np
+
+    from importpipeline_spark.operators.multimodal import (
+        decode_ppm,
+        encode_ppm,
+        frame_sample,
+    )
+
+    frames = [_ppm_image(4, 4, 100 + i) for i in range(7)]
+    video = b"".join(encode_ppm(f) for f in frames)
+    df = spark.createDataFrame(
+        [(5, bytearray(video))], "doc_id long, payload binary"
+    )
+    got = sorted(frame_sample(df, every_n=3).collect(), key=lambda r: r.frame_idx)
+    assert [r.frame_idx for r in got] == [0, 3, 6]
+    for r in got:
+        assert np.array_equal(decode_ppm(bytes(r.frame)), frames[r.frame_idx])
