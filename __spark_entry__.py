@@ -525,6 +525,35 @@ def q_simhash_pairs(spark, sf_dir):
     )
 
 
+def q_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup recall invariant: exact vector copies
+    planted at vec_id+10^6 MUST be found by the hyperplane-LSH blocking
+    (identical vectors get identical codes in every table, so same-bucket
+    candidacy is deterministic); the natural corpus has NO pairs at cosine
+    ≥ 0.99 (measured max cosine 0.51 at both SFs), so the emitted pair set
+    EQUALS the planted set. Oracle = the planted pairs with found=1."""
+    from importpipeline_spark.operators.similarity import embedding_neardup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    copies = emb.where(F.col("vec_id") < 25).select(
+        (F.col("vec_id") + F.lit(1000000)).alias("vec_id"), "embedding"
+    )
+    detected = embedding_neardup_pairs(
+        emb.select("vec_id", "embedding").unionByName(copies), threshold=0.99
+    )
+    truth = emb.where(F.col("vec_id") < 25).select(
+        F.col("vec_id").alias("id_a"),
+        (F.col("vec_id") + F.lit(1000000)).alias("id_b"),
+    )
+    return truth.join(
+        detected.select("id_a", "id_b", F.lit(1).alias("found")),
+        ["id_a", "id_b"],
+        "left",
+    ).select(
+        "id_a", "id_b", F.coalesce("found", F.lit(0)).cast("long").alias("found")
+    )
+
+
 def q_ann_lsh_topk(spark, sf_dir):
     """ANN recall invariant: the multi-probe hyperplane-LSH top-10 must equal
     the brute-force cosine top-10 on this corpus. Output = the exact top-10
@@ -620,6 +649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ivf_ann_topk": q_ivf_ann_topk,
+        "embedding_neardup": q_embedding_neardup,
         "multimodal_meta": q_multimodal_meta,
     }
 
@@ -842,6 +872,11 @@ def oracle_sql() -> dict[str, str]:
                    vec_id, ROUND(cosine, 4) AS cosine,
                    CAST(1 AS BIGINT) AS found
             FROM scored ORDER BY cosine DESC, vec_id ASC LIMIT 10
+        """,
+        "embedding_neardup": """
+            SELECT vec_id AS id_a, vec_id + 1000000 AS id_b,
+                   CAST(1 AS BIGINT) AS found
+            FROM embeddings WHERE vec_id < 25
         """,
         "ivf_ann_topk": """
             WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),

@@ -1,6 +1,6 @@
-"""Multimodal binary-column plumbing: schema, Arrow batch shape, null
-handling, frame-sample explode. Decode itself is stubbed (no image libs in
-this container) — the deterministic fake exercises the full path."""
+"""Multimodal binary columns: plumbing (schema, Arrow batch shape, null
+handling) plus REAL decode paths — P6 PPM images, WAV audio, PPM-sequence
+video — which need only stdlib+numpy. Compressed codecs stay stubbed."""
 
 import hashlib
 
