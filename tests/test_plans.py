@@ -1,0 +1,119 @@
+"""Physical-plan regression tests — pin the scale properties PLANS.md
+documents, so a refactor that silently loses pushdown, broadcast, partial
+aggregation, or heap-based top-k fails CI instead of resurfacing as a
+100×-scale bottleneck.
+
+Assertions target the optimized/executed plan text, not timings: plan shape
+is deterministic, timing is not.
+"""
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def small_index(spark, tmp_path_factory):
+    from importpipeline_spark.index.pagesgen import gen_pages_df
+    from importpipeline_spark.index.store import write_index
+
+    root = str(tmp_path_factory.mktemp("plans_idx"))
+    pages = gen_pages_df(spark, 600, seed=21)
+    return write_index(spark, pages, root, n_shards=4)
+
+
+def test_posting_scan_pushdown(spark, small_index):
+    """PLANS.md §1: the query-term filter reaches the parquet scan
+    (PushedFilters) and shard pruning reaches the partition filters."""
+    from importpipeline_spark.index.wand import bm25_topk_wand
+
+    plan = plan_of(bm25_topk_wand(spark, small_index, "the of"))
+    assert "PushedFilters" in plan
+    assert "In(term" in plan or "EqualTo(term" in plan, plan
+    assert "PartitionFilters" in plan
+
+
+def test_wand_plan_shape(spark, small_index):
+    """PLANS.md §2: cogrouped kernel per shard, k-row global merge via
+    TakeOrderedAndProject — never a full sort of the corpus."""
+    from importpipeline_spark.index.wand import bm25_topk_wand
+
+    plan = plan_of(bm25_topk_wand(spark, small_index, "the of", k=10))
+    assert "FlatMapCoGroupsInPandas" in plan
+    assert "TakeOrderedAndProject" in plan
+    # exactly the two exchanges feeding the cogroup (postings + doclen);
+    # the k-row merge must not add a third shuffle
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_exhaustive_bm25_broadcasts(spark, small_index):
+    """PLANS.md §3: query-terms and idf tables broadcast into the tf scan;
+    top-k via TakeOrderedAndProject."""
+    from importpipeline_spark.index.build import build_logical_index
+    from importpipeline_spark.index.pagesgen import gen_pages_df
+    from importpipeline_spark.index.search import bm25_topk_exhaustive
+
+    lidx = build_logical_index(gen_pages_df(spark, 400, seed=22))
+    plan = plan_of(bm25_topk_exhaustive(spark, lidx, "the of", k=10))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_mapreduce_partial_aggregation(spark):
+    """PLANS.md §4: undup aggregates get map-side combine — a partial and a
+    final HashAggregate pair around one exchange."""
+    import __spark_entry__ as em
+
+    plan = plan_of(em.queries()["mapreduce_undup_agg"](spark, SF_DIR))
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_contract_topk_no_global_window(spark):
+    """PLANS.md §8: no contract query plans an unpartitioned WindowExec over
+    unbounded input — top-k is TakeOrderedAndProject first, then the ≤k
+    survivors are numbered inside one intentional single partition."""
+    import __spark_entry__ as em
+
+    for name in ("term_freq_top20", "topk_orders", "bm25_topk_docs"):
+        plan = plan_of(em.queries()[name](spark, SF_DIR))
+        # these queries use no window at all: rank = TakeOrderedAndProject
+        # then monotonically_increasing_id in one ≤k-row partition
+        assert "Window" not in plan, (
+            f"{name} plans a window:\n{plan}"
+        )
+        assert "TakeOrderedAndProject" in plan, name
+
+
+def test_global_topk_is_heap_based(spark):
+    """PLANS.md §5: orderBy().limit() plans as TakeOrderedAndProject (per-
+    partition heap + driver merge), not Sort + GlobalLimit over a full sort."""
+    df = (
+        spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        .orderBy(F.col("o_totalprice").desc())
+        .limit(5)
+    )
+    plan = plan_of(df)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_scan_prunes_columns(spark):
+    """A 2-column projection must reach the scan as a 2-column ReadSchema —
+    reading all columns for a narrow projection is wrong at any scale."""
+    df = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    plan = plan_of(df)
+    seg = plan[plan.index("ReadSchema"):].splitlines()[0]
+    assert "l_orderkey" in seg and "l_quantity" in seg
+    assert "l_comment" not in seg and "l_shipdate" not in seg
