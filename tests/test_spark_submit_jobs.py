@@ -95,3 +95,59 @@ def test_spark_submit_build_then_query(spark, tmp_path):
     ]
     got = [(int(r[0]), int(r[1]), int(r[2])) for r in rows]
     assert sorted(got) == sorted(expect)
+
+
+def test_spark_submit_update_lifecycle(spark, tmp_path):
+    """Third lifecycle leg via spark-submit: init a published store, apply an
+    incremental snapshot (copy-on-write generation + CURRENT flip), query the
+    published generation — all in separate JVMs with the zip as the only
+    package source."""
+    from importpipeline_spark.index.pagesgen import gen_pages_df
+
+    snap1 = str(tmp_path / "snap1")
+    snap2 = str(tmp_path / "snap2")
+    gen_pages_df(spark, 500, seed=42).write.parquet(snap1)
+    gen_pages_df(spark, 600, seed=42).write.parquet(snap2)  # 500 same + 100 new
+
+    workdir = str(tmp_path / "work")
+    os.makedirs(workdir)
+    zpath = _zip_package(workdir)
+    store = str(tmp_path / "store")
+    job = os.path.join(REPO, "jobs", "update_index_job.py")
+
+    out = _submit(
+        ["--py-files", zpath, job, "--input", snap1, "--store", store,
+         "--n-shards", "4", "--run-id", "r1", "--input-snapshot", "s1"],
+        cwd=workdir,
+    )
+    first = json.loads(out.strip().splitlines()[-1])
+    assert first["action"] == "init" and first["n_docs"] == 500
+
+    out = _submit(
+        ["--py-files", zpath, job, "--input", snap2, "--store", store,
+         "--run-id", "r2", "--input-snapshot", "s2"],
+        cwd=workdir,
+    )
+    second = json.loads(out.strip().splitlines()[-1])
+    assert second["action"] == "update" and second["n_docs"] == 600
+    assert second["generation"] != first["generation"]
+
+    # the published generation answers queries rank-identically to the
+    # in-process engine on the same index
+    from importpipeline_spark.index.segments import open_current_index
+    from importpipeline_spark.index.wand import bm25_topk_wand
+
+    pidx = open_current_index(store)
+    assert pidx.root.rstrip("/") == second["generation"].rstrip("/")
+    qfile = str(tmp_path / "q.txt")
+    with open(qfile, "w") as f:
+        f.write("the\n")
+    out = _submit(
+        ["--py-files", zpath, os.path.join(REPO, "jobs", "query_topk_job.py"),
+         "--root", pidx.root, "--queries", qfile, "--k", "5"],
+        cwd=workdir,
+    )
+    rows = [line.split("\t") for line in out.strip().splitlines()
+            if line.count("\t") == 3]
+    expect = [r.doc_id for r in bm25_topk_wand(spark, pidx, "the", k=5).collect()]
+    assert [int(r[2]) for r in rows] == expect
