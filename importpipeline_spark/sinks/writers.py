@@ -88,6 +88,10 @@ def write_command(
     (the reference's BMException) unless ``errors_as_warning``
     (CommandEndpoint.cs:143-150), which logs to stderr and continues.
     exec gets the reference's 10s default timeout (CommandEndpoint.cs:175).
+
+    Caveat (inherited from the reference, which formats record values into a
+    ``cmd /c`` line the same way): exec interpolates FIELD VALUES into a
+    shell command — only use it over trusted/validated columns.
     """
     if op not in ("exec", "delete", "copy", "move"):
         raise ValueError(f"unknown command op: {op}")

@@ -230,7 +230,8 @@ def read_http(
                         content = resp.read()
                         status = resp.status
                         ctype = resp.headers.get("Content-Type")
-                    if full.endswith(".gz") or ctype == "application/gzip":
+                    base_ctype = (ctype or "").split(";")[0].strip()
+                    if full.endswith(".gz") or base_ctype == "application/gzip":
                         content = gzip.decompress(content)
                 except urllib.error.HTTPError as e:
                     status, err = e.code, f"HTTP {e.code}: {e.reason}"
