@@ -531,7 +531,9 @@ def q_embedding_neardup(spark, sf_dir):
     (identical vectors get identical codes in every table, so same-bucket
     candidacy is deterministic); the natural corpus has NO pairs at cosine
     ≥ 0.99 (measured max cosine 0.51 at both SFs), so the emitted pair set
-    EQUALS the planted set. Oracle = the planted pairs with found=1."""
+    EQUALS the planted set. Oracle = the planted pairs with found=1; the
+    join is FULL OUTER so a precision regression (spurious emitted pairs)
+    surfaces as extra rows the oracle does not have, not silently."""
     from importpipeline_spark.operators.similarity import embedding_neardup_pairs
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -548,7 +550,7 @@ def q_embedding_neardup(spark, sf_dir):
     return truth.join(
         detected.select("id_a", "id_b", F.lit(1).alias("found")),
         ["id_a", "id_b"],
-        "left",
+        "full_outer",
     ).select(
         "id_a", "id_b", F.coalesce("found", F.lit(0)).cast("long").alias("found")
     )

@@ -69,27 +69,34 @@ def encode_ppm(img: np.ndarray) -> bytes:
     return b"P6\n%d %d\n255\n" % (w, h) + img.astype(np.uint8).tobytes()
 
 
-def decode_ppm(payload: bytes) -> np.ndarray:
-    """Binary P6 PPM → (h, w, 3) uint8. Raises ValueError on malformed input
+def _ppm_header(payload: bytes, pos: int):
+    """Parse one P6 header at ``pos`` → (w, h, raster_start). Shared by
+    decode_ppm and split_ppm_frames so validation (magic, comments, maxval)
+    cannot drift between them. Raises ValueError on malformed input
     (quarantine via the errorhandler pattern upstream)."""
-    if not payload.startswith(b"P6"):
-        raise ValueError("not a P6 PPM payload")
+    if payload[pos : pos + 2] != b"P6":
+        raise ValueError(f"not a P6 PPM payload at offset {pos}")
     # header = magic, width, height, maxval as whitespace-separated tokens
     # (comment lines are not produced by our encoder and rejected here)
-    pos, fields = 2, []
+    p, fields = pos + 2, []
     while len(fields) < 3:
-        while pos < len(payload) and payload[pos : pos + 1].isspace():
-            pos += 1
-        if payload[pos : pos + 1] == b"#":
+        while p < len(payload) and payload[p : p + 1].isspace():
+            p += 1
+        if payload[p : p + 1] == b"#":
             raise ValueError("PPM comments unsupported")
-        start = pos
-        while pos < len(payload) and not payload[pos : pos + 1].isspace():
-            pos += 1
-        fields.append(int(payload[start:pos]))
+        start = p
+        while p < len(payload) and not payload[p : p + 1].isspace():
+            p += 1
+        fields.append(int(payload[start:p]))
     w, h, maxval = fields
     if maxval != 255:
         raise ValueError(f"unsupported maxval {maxval}")
-    pos += 1  # single whitespace after maxval
+    return w, h, p + 1  # single whitespace after maxval
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary P6 PPM → (h, w, 3) uint8."""
+    w, h, pos = _ppm_header(payload, 0)
     n = w * h * 3
     raw = payload[pos : pos + n]
     if len(raw) != n:
@@ -129,22 +136,15 @@ def split_ppm_frames(payload: bytes):
     """PPM-sequence 'video' (concatenated P6 frames) → list of frame bytes.
 
     Frame boundaries come from each header's declared dimensions (never from
-    searching for the magic — raster bytes can legally contain b"P6")."""
+    searching for the magic — raster bytes can legally contain b"P6");
+    _ppm_header validates maxval so frame-length arithmetic is never applied
+    to a format it doesn't hold for."""
     frames, pos = [], 0
     while pos < len(payload):
-        if payload[pos : pos + 2] != b"P6":
-            raise ValueError(f"frame at offset {pos} is not P6")
-        # walk this frame's header exactly like decode_ppm to find its length
-        p, fields = pos + 2, []
-        while len(fields) < 3:
-            while payload[p : p + 1].isspace():
-                p += 1
-            start = p
-            while p < len(payload) and not payload[p : p + 1].isspace():
-                p += 1
-            fields.append(int(payload[start:p]))
-        w, h, _maxval = fields
-        end = p + 1 + w * h * 3
+        w, h, raster = _ppm_header(payload, pos)
+        end = raster + w * h * 3
+        if end > len(payload):
+            raise ValueError(f"truncated frame at offset {pos}")
         frames.append(payload[pos:end])
         pos = end
     return frames
@@ -224,6 +224,8 @@ def frame_sample(df: DataFrame, every_n: int,
     """REAL frame sampling over PPM-sequence payloads: split frames, keep
     every ``every_n``-th, one output row per kept frame (frame re-encoded as
     a standalone PPM payload)."""
+    if every_n < 1:
+        raise ValueError(f"every_n must be >= 1, got {every_n}")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -277,6 +279,8 @@ def extract_meta(df: DataFrame) -> DataFrame:
 def frame_sample_stub(df: DataFrame, every_n: int = 10) -> DataFrame:
     """Frame-sampling plumbing for video-like payloads: explode synthetic
     frame indices (the decode itself is stubbed)."""
+    if every_n < 1:
+        raise ValueError(f"every_n must be >= 1, got {every_n}")
     return df.withColumn(
         "frame_idx",
         F.explode(F.sequence(F.lit(0), F.lit(every_n - 1))),

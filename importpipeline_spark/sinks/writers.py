@@ -92,6 +92,13 @@ def write_command(
     Caveat (inherited from the reference, which formats record values into a
     ``cmd /c`` line the same way): exec interpolates FIELD VALUES into a
     shell command — only use it over trusted/validated columns.
+
+    Retry caveat: a failed/speculative Spark task RE-RUNS its whole
+    partition, so commands must be idempotent (touch/copy-overwrite are;
+    move/delete fail their second run — pair them with errors_as_warning or
+    disable speculation for non-idempotent ops). The reference's single-
+    threaded accumulator loop (CommandEndpoint.cs:85-99) had no retries, so
+    this is the one semantic the distributed shape adds.
     """
     if op not in ("exec", "delete", "copy", "move"):
         raise ValueError(f"unknown command op: {op}")
@@ -130,7 +137,8 @@ def write_command(
                     )
                     if proc.returncode != 0:
                         issue(
-                            f"{actual!r} ended with rc={proc.returncode}"
+                            f"{actual!r} ended with rc={proc.returncode}: "
+                            f"{(proc.stderr or b'')[:500]!r}"
                         )
                 elif op == "delete":
                     _os.remove(resolve(src, parms))

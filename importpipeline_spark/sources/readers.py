@@ -235,8 +235,13 @@ def read_http(
                         content = gzip.decompress(content)
                 except urllib.error.HTTPError as e:
                     status, err = e.code, f"HTTP {e.code}: {e.reason}"
+                    content = None
                 except Exception as e:  # URLError, timeout, bad gzip …
                     err = f"{type(e).__name__}: {e}"
+                    # invariant: error set ⇒ content null (a gzip failure
+                    # after a 200 fetch must not leak compressed bytes to a
+                    # consumer filtering on status)
+                    content = None
                 if err is not None and not lenient:
                     raise RuntimeError(f"fetch failed for {full}: {err}")
                 rows.append(
@@ -290,8 +295,11 @@ def read_shell_lines(
 
     if via_shell and args is not None:
         raise ValueError("args cannot be specified when via_shell=True")
-    argv = cmd if via_shell else ([cmd] + (args.split() if args else [])
-                                  if isinstance(cmd, str) else list(cmd))
+    if via_shell:
+        argv = cmd
+    else:
+        argv = [cmd] if isinstance(cmd, str) else list(cmd)
+        argv += args.split() if args else []
     proc = subprocess.run(
         argv,
         shell=via_shell,

@@ -165,3 +165,29 @@ def test_frame_sample_real_video(spark):
     assert [r.frame_idx for r in got] == [0, 3, 6]
     for r in got:
         assert np.array_equal(decode_ppm(bytes(r.frame)), frames[r.frame_idx])
+
+
+def test_ppm_maxval_and_frame_sample_validation():
+    from importpipeline_spark.operators.multimodal import (
+        decode_ppm,
+        split_ppm_frames,
+    )
+
+    sixteen_bit = b"P6\n1 1\n65535\n" + b"\x00" * 6
+    with pytest.raises(ValueError, match="maxval"):
+        decode_ppm(sixteen_bit)
+    with pytest.raises(ValueError, match="maxval"):
+        split_ppm_frames(sixteen_bit)  # same validation as decode (shared header)
+
+
+def test_frame_sample_rejects_nonpositive(spark):
+    from importpipeline_spark.operators.multimodal import (
+        frame_sample,
+        frame_sample_stub,
+    )
+
+    df = spark.createDataFrame([(1, bytearray(b"P6"))], "doc_id long, payload binary")
+    with pytest.raises(ValueError, match="every_n"):
+        frame_sample(df, every_n=0)
+    with pytest.raises(ValueError, match="every_n"):
+        frame_sample_stub(df, every_n=0)

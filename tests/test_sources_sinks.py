@@ -450,3 +450,34 @@ def test_command_endpoint(spark, tmp_path):
                       working_dir=str(tmp_path))
     write_command(df, "delete", ["name"], src="gone-{0}",
                   working_dir=str(tmp_path), errors_as_warning=True)
+
+
+def test_shell_list_cmd_with_args(spark):
+    from importpipeline_spark.sources.readers import read_shell_lines
+
+    got = read_shell_lines(spark, ["echo", "a"], args="b c")
+    assert [r.line for r in got.collect()] == ["a b c"]
+
+
+def test_http_bad_gzip_is_a_clean_error_row(spark, tmp_path):
+    """error set ⇒ content null, even when the fetch itself succeeded:
+    a 200 response whose .gz body is not valid gzip must not leak the
+    compressed bytes to consumers filtering on status."""
+    import functools
+    import http.server
+    import threading
+
+    from importpipeline_spark.sources.readers import read_http
+
+    (tmp_path / "broken.gz").write_bytes(b"this is not gzip")
+    handler = functools.partial(
+        http.server.SimpleHTTPRequestHandler, directory=str(tmp_path)
+    )
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        base = f"http://127.0.0.1:{srv.server_address[1]}/"
+        r = read_http(spark, [base + "broken.gz"]).collect()[0]
+        assert r.status == 200 and r.content is None and "BadGzipFile" in r.error
+    finally:
+        srv.shutdown()
