@@ -525,6 +525,23 @@ def q_simhash_pairs(spark, sf_dir):
     )
 
 
+def q_boilerplate_ngrams(spark, sf_dir):
+    """Boilerplate-span mining: the 20 most cross-document-frequent word
+    trigrams (doc frequency, each doc counted once). Deterministic order:
+    df DESC, ngram ASC — the tie-break makes the top-20 cut stable."""
+    from importpipeline_spark.operators.dedup import boilerplate_ngrams
+
+    docs = _t(spark, sf_dir, "documents")
+    top = (
+        boilerplate_ngrams(docs, "text", "doc_id", n=3, min_df=2)
+        .orderBy(F.col("df").desc(), F.col("ngram").asc())
+        .limit(20)
+    )
+    return _rank_bounded(top, F.col("df").desc(), F.col("ngram").asc()).select(
+        "rank", "ngram", F.col("df").cast("long").alias("df")
+    )
+
+
 def q_embedding_neardup(spark, sf_dir):
     """Embedding-cosine near-dup recall invariant: exact vector copies
     planted at vec_id+10^6 MUST be found by the hyperplane-LSH blocking
@@ -652,6 +669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ivf_ann_topk": q_ivf_ann_topk,
         "embedding_neardup": q_embedding_neardup,
+        "boilerplate_ngrams": q_boilerplate_ngrams,
         "multimodal_meta": q_multimodal_meta,
     }
 
@@ -874,6 +892,22 @@ def oracle_sql() -> dict[str, str]:
                    vec_id, ROUND(cosine, 4) AS cosine,
                    CAST(1 AS BIGINT) AS found
             FROM scored ORDER BY cosine DESC, vec_id ASC LIMIT 10
+        """,
+        "boilerplate_ngrams": """
+            WITH toks AS (
+                SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+            ),
+            grams AS (
+                SELECT DISTINCT doc_id, array_to_string(ts[i:i+2], ' ') AS ngram
+                FROM toks, UNNEST(range(1, len(ts) - 1)) AS t(i)
+            ),
+            dfs AS (
+                SELECT ngram, COUNT(*) AS df FROM grams GROUP BY ngram
+                HAVING COUNT(*) >= 2
+            )
+            SELECT ROW_NUMBER() OVER (ORDER BY df DESC, ngram ASC) AS rank,
+                   ngram, CAST(df AS BIGINT) AS df
+            FROM dfs ORDER BY df DESC, ngram ASC LIMIT 20
         """,
         "embedding_neardup": """
             SELECT vec_id AS id_a, vec_id + 1000000 AS id_b,

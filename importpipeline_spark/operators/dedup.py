@@ -312,3 +312,31 @@ def simhash_pairs(
     return cands.withColumn(
         "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     ).where(F.col("hamming") <= max_hamming).select("id_a", "id_b", "hamming")
+
+
+def boilerplate_ngrams(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_df: int = 2,
+) -> DataFrame:
+    """Cross-document repeated-span mining (boilerplate detection): word
+    n-grams appearing in ≥ ``min_df`` distinct documents, with their document
+    frequency — the spans a pretraining pipeline strips because they are
+    template/boilerplate rather than content.
+
+    Scale shape: each document contributes a shingle at most once
+    (word_shingles is per-doc distinct), so a plain count after explode IS
+    document frequency — one explode + one partially-aggregated groupBy
+    (map-side combine absorbs head shingles), no joins, no windows, no
+    distinct-aggregation shuffle. Returns (ngram, df).
+    """
+    grams = df.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("ngram")
+    )
+    return (
+        grams.groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") >= min_df)
+    )

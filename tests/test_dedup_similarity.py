@@ -258,3 +258,28 @@ def test_quality_features_ranges(spark):
         assert 0.0 <= r.quality_score <= 1.0
         assert r.n_tokens > 0
         assert 0.0 <= r.punct_ratio <= 1.0
+
+
+def test_boilerplate_ngrams_vs_pandas(spark):
+    """boilerplate_ngrams == a hand-rolled per-doc-distinct trigram doc
+    frequency; per-doc repeats must count once."""
+    from importpipeline_spark.operators.dedup import boilerplate_ngrams
+
+    rows = [
+        (1, "a b c a b c x"),      # "a b c" twice in ONE doc → counts once
+        (2, "z a b c q"),
+        (3, "a b c"),
+        (4, "no overlap here at all"),
+        (5, "sh"),                  # shorter than n → no shingles
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.ngram, r.df) for r in boilerplate_ngrams(df, n=3, min_df=2).collect()}
+
+    from collections import Counter
+    c = Counter()
+    for _, text in rows:
+        toks = text.split()
+        c.update({" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)})
+    expect = {(g, n) for g, n in c.items() if n >= 2}
+    assert got == expect
+    assert ("a b c", 3) in got  # doc 1 contributed exactly once
