@@ -895,7 +895,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "boilerplate_ngrams": """
             WITH toks AS (
-                SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+                SELECT doc_id,
+                       regexp_split_to_array(trim(text), '\\s+') AS ts
+                FROM documents
             ),
             grams AS (
                 SELECT DISTINCT doc_id, array_to_string(ts[i:i+2], ' ') AS ngram

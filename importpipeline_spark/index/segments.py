@@ -61,8 +61,15 @@ def _count_error_urls(spark: SparkSession, root: str) -> int:
         return 0
     try:
         return int(spark.read.parquet(p).select("url").distinct().count())
-    except Exception:
-        return 0  # empty dir with no parquet footers yet
+    except Exception as e:
+        # only the empty-quarantine case (no parquet footers yet → schema
+        # inference fails) legitimately means zero; a corrupt/unreadable
+        # quarantine must NOT silently report n_errors=0
+        if not any(f.endswith(".parquet") for f in os.listdir(p)):
+            return 0
+        raise RuntimeError(
+            f"error quarantine at {p} exists but could not be read"
+        ) from e
 
 
 def _write_stats_atomic(root: str, stats: dict) -> None:

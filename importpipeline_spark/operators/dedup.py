@@ -20,7 +20,8 @@ plan (broadcast or sort-merge + AQE skew handling).
 from __future__ import annotations
 
 import logging
-from typing import List, Optional
+from dataclasses import dataclass
+from typing import List, Optional, Tuple
 
 from pyspark.sql import DataFrame, functions as F
 
@@ -34,36 +35,91 @@ logger = logging.getLogger(__name__)
 # case, which a single executor can still verify; pass None to uncap.
 DEFAULT_MAX_BUCKET = 10_000
 
+# hot buckets are pathological by definition — when more than this many exist
+# we stop collecting their keys driver-side and fall back to a distributed
+# semi-join on the OK buckets instead
+_MAX_COLLECTED_HOT = 10_000
+
+
+@dataclass(frozen=True)
+class CapReport:
+    """What a bucket-size cap actually cut — always computed, never silent.
+
+    ``dropped_buckets``/``dropped_rows`` are exact counts of the buckets
+    above the bound and their member rows (a member excluded from candidate
+    generation can still pair through its other bands/tables)."""
+
+    bucket_cols: Tuple[str, ...]
+    max_bucket_size: Optional[int]
+    dropped_buckets: int
+    dropped_rows: int
+
+
+def release_cache(df: DataFrame) -> None:
+    """Unpersist the intermediate frames a dedup/similarity operator cached
+    while building ``df`` (attached as ``df.cached_deps``). Call after the
+    result is materialized (collect/write) in long-lived sessions — the
+    caches are only useful while the returned plan may still re-execute."""
+    for dep in getattr(df, "cached_deps", []):
+        dep.unpersist()
+
 
 def _cap_buckets(
     rows: DataFrame,
     bucket_cols: List[str],
     max_bucket_size: Optional[int],
-    log_dropped: bool = False,
-) -> DataFrame:
+    log_dropped: bool = True,
+    label: str = "bucket",
+) -> Tuple[DataFrame, CapReport]:
     """Drop all members of buckets larger than max_bucket_size.
 
-    The size aggregation is a partial-agg groupBy (tiny output: one row per
-    bucket) followed by a left-semi join — both shuffle on the same bucket
-    key the candidate self-join uses next. ``log_dropped=True`` counts the
-    dropped buckets (one extra small job on the aggregated sizes — costs a
-    recompute of the upstream, so off by default; callers at scale persist
-    the signature relation anyway). No silent caps: the cap, its value, and
-    the logging knob are part of the API surface.
+    Returns ``(filtered_rows, CapReport)``. The hot-bucket detection runs
+    EAGERLY (one partial-agg groupBy job over ``rows`` — callers persist the
+    expensive upstream first, so this job also primes that cache for the
+    candidate join that follows). Eagerness buys two things at scale:
+
+    - the common case (no bucket above the bound) leaves the candidate plan
+      completely untouched — no size aggregation or semi-join shuffle inside
+      the main query at all;
+    - when hot buckets exist they are few by nature, so the cut becomes a
+      BROADCAST anti-join on the collected hot keys instead of a shuffled
+      semi-join against every ok bucket — and the drop counts are known and
+      logged by default (no silent caps), with no recompute.
+
+    Only past ``_MAX_COLLECTED_HOT`` hot buckets (adversarial input) does it
+    fall back to the distributed ok-bucket semi-join.
     """
     if max_bucket_size is None:
-        return rows
+        return rows, CapReport(tuple(bucket_cols), None, 0, 0)
     sizes = rows.groupBy(*bucket_cols).agg(F.count(F.lit(1)).alias("__bsz"))
+    hot = sizes.where(F.col("__bsz") > max_bucket_size)
+    hot_rows = hot.limit(_MAX_COLLECTED_HOT + 1).collect()
+    if not hot_rows:
+        return rows, CapReport(tuple(bucket_cols), max_bucket_size, 0, 0)
+    if len(hot_rows) <= _MAX_COLLECTED_HOT:
+        n_buckets = len(hot_rows)
+        n_rows = sum(int(r["__bsz"]) for r in hot_rows)
+        hot_df = rows.sparkSession.createDataFrame(
+            [tuple(r[c] for c in bucket_cols) for r in hot_rows],
+            rows.select(*bucket_cols).schema,
+        )
+        out = rows.join(F.broadcast(hot_df), bucket_cols, "left_anti")
+    else:
+        agg = hot.agg(
+            F.count(F.lit(1)).alias("b"), F.sum("__bsz").alias("r")
+        ).first()
+        n_buckets, n_rows = int(agg.b), int(agg.r)
+        ok = sizes.where(F.col("__bsz") <= max_bucket_size).select(*bucket_cols)
+        out = rows.join(ok, bucket_cols, "left_semi")
     if log_dropped:
-        n = sizes.where(F.col("__bsz") > max_bucket_size).count()
-        if n:
-            logger.warning(
-                "LSH candidate generation dropped %d bucket(s) larger than "
-                "%d members; near-dups confined to those buckets will not be "
-                "emitted", n, max_bucket_size,
-            )
-    ok = sizes.where(F.col("__bsz") <= max_bucket_size).select(*bucket_cols)
-    return rows.join(ok, bucket_cols, "left_semi")
+        logger.warning(
+            "candidate generation dropped %d %s(s) larger than %d members "
+            "(%d member rows); near-dups whose only shared %s was cut will "
+            "not be emitted", n_buckets, label, max_bucket_size, n_rows, label,
+        )
+    return out, CapReport(
+        tuple(bucket_cols), max_bucket_size, n_buckets, n_rows
+    )
 
 
 def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -107,16 +163,33 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.5,
+    max_shingle_df: Optional[int] = DEFAULT_MAX_BUCKET,
+    log_dropped: bool = True,
 ) -> DataFrame:
     """Candidate pairs by shared shingle (inverted-index join), exact Jaccard.
 
     |A∩B| comes from counting shared shingles; |A∪B| = |A|+|B|−|A∩B|.
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
+
+    ``max_shingle_df`` is the hot-shingle cut (the inverted-index analogue of
+    the LSH family's bucket cap): a shingle present in d documents would
+    contribute O(d²) pair rows to ONE join task, so shingles above the
+    document-frequency bound are excluded from candidate generation (the
+    standard stop-shingle cut; see _cap_buckets for the plan shape and the
+    always-on drop accounting). Error is one-sided and bounded: a cut
+    shingle contributes no intersection evidence while |A| and |B| keep
+    their full sizes, so reported jaccard can only UNDER-estimate — pairs
+    may be missed (they must share an above-bound shingle to be affected),
+    never falsely emitted. ``None`` uncaps (exact result, skew-exposed).
+    The result carries ``cap_reports`` with the exact cut counts.
     """
     sh = df.select(
         F.col(id_col).alias("id"), word_shingles(F.col(text_col), n).alias("sh")
     ).withColumn("n_sh", F.size("sh"))
     ex = sh.select("id", "n_sh", F.explode("sh").alias("s"))
+    ex, cap_report = _cap_buckets(
+        ex, ["s"], max_shingle_df, log_dropped, label="shingle"
+    )
     a = ex.alias("a")
     b = ex.alias("b")
     inter = (
@@ -129,7 +202,7 @@ def ngram_jaccard_pairs(
         )
         .agg(F.count(F.lit(1)).alias("common"))
     )
-    return inter.select(
+    out = inter.select(
         "id_a",
         "id_b",
         (
@@ -137,6 +210,8 @@ def ngram_jaccard_pairs(
             / (F.col("na") + F.col("nb") - F.col("common")).cast("double")
         ).alias("jaccard"),
     ).where(F.col("jaccard") >= threshold)
+    out.cap_reports = [cap_report]
+    return out
 
 
 def minhash_signature(df: DataFrame, text_col: str, id_col: str,
@@ -163,7 +238,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     threshold: float = 0.5,
     max_bucket_size: Optional[int] = DEFAULT_MAX_BUCKET,
-    log_dropped: bool = False,
+    log_dropped: bool = True,
 ) -> DataFrame:
     """LSH: split signature into bands; docs sharing any band bucket are
     candidates; candidates verified with exact shingle Jaccard.
@@ -171,7 +246,9 @@ def minhash_lsh_pairs(
     Scale path: candidate generation is a groupBy on (band, band-hash) — the
     only wide op; buckets above max_bucket_size are cut (see _cap_buckets)
     so one boilerplate bucket cannot go quadratic; verification touches
-    candidate pairs only.
+    candidate pairs only. The result carries ``cap_reports`` (exact drop
+    counts) and ``cached_deps`` (release with release_cache after
+    materializing).
     """
     rows_per_band = num_hashes // bands
     sig = minhash_signature(df, text_col, id_col, n, num_hashes).persist()
@@ -192,7 +269,9 @@ def minhash_lsh_pairs(
             )
         ).alias("band", "bucket"),
     )
-    band_rows = _cap_buckets(band_rows, ["band", "bucket"], max_bucket_size, log_dropped)
+    band_rows, cap_report = _cap_buckets(
+        band_rows, ["band", "bucket"], max_bucket_size, log_dropped
+    )
     a = band_rows.alias("a")
     b = band_rows.alias("b")
     cands = (
@@ -220,6 +299,8 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b", "jaccard")
         .where(F.col("jaccard") >= threshold)
     )
+    verified.cap_reports = [cap_report]
+    verified.cached_deps = [sig]
     return verified
 
 
@@ -258,7 +339,7 @@ def simhash_pairs(
     max_hamming: int = 8,
     n_bands: int = 4,
     max_bucket_size: Optional[int] = DEFAULT_MAX_BUCKET,
-    log_dropped: bool = False,
+    log_dropped: bool = True,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance ≤ max_hamming.
 
@@ -292,8 +373,10 @@ def simhash_pairs(
     # part, and it feeds the size agg, the semi-join, and BOTH self-join
     # sides — without the cache each consumer recomputes it
     bands = bands.persist()
-    bands = _cap_buckets(bands, ["band", "bucket"], max_bucket_size, log_dropped)
-    a, b = bands.alias("a"), bands.alias("b")
+    capped, cap_report = _cap_buckets(
+        bands, ["band", "bucket"], max_bucket_size, log_dropped
+    )
+    a, b = capped.alias("a"), capped.alias("b")
     cands = (
         a.join(
             b,
@@ -309,9 +392,12 @@ def simhash_pairs(
         )
         .distinct()
     )
-    return cands.withColumn(
+    out = cands.withColumn(
         "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     ).where(F.col("hamming") <= max_hamming).select("id_a", "id_b", "hamming")
+    out.cap_reports = [cap_report]
+    out.cached_deps = [bands]
+    return out
 
 
 def boilerplate_ngrams(

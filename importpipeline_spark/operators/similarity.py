@@ -217,14 +217,16 @@ def embedding_neardup_pairs(
     n_tables: int = 3,
     seed: int = 42,
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
-    log_dropped: bool = False,
+    log_dropped: bool = True,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via hyperplane-LSH blocking +
     exact cosine verification on candidates.
 
     ``max_bucket_size`` cuts degenerate buckets (e.g. zero vectors all land
     in code 0 of every table) before the within-bucket self-join — see
-    dedup._cap_buckets. None = uncapped."""
+    dedup._cap_buckets. None = uncapped. The result carries ``cap_reports``
+    (per-table drop counts) and ``cached_deps`` (release with
+    dedup.release_cache after materializing)."""
 
     first = df.select(F.size(vec_col).alias("d")).first()
     dim = int(first.d)
@@ -232,14 +234,17 @@ def embedding_neardup_pairs(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"), _norm(F.col(vec_col)).alias("nrm")
     )
     cands = None
+    cap_reports, cached = [], []
     for t in range(n_tables):
         planes = _hyperplanes(dim, n_planes, seed + t)
-        # persist per table: the bucket-code projection feeds the size agg,
-        # the semi-join, and both self-join sides
+        # persist per table: the bucket-code projection feeds the eager
+        # hot-bucket detection and both self-join sides
         coded = base.withColumn(
             "bucket", lsh_bucket_code(F.col("v"), planes)
         ).persist()
-        coded = _cap_buckets(coded, ["bucket"], max_bucket_size, log_dropped)
+        cached.append(coded)
+        coded, rep = _cap_buckets(coded, ["bucket"], max_bucket_size, log_dropped)
+        cap_reports.append(rep)
         a, b = coded.alias("a"), coded.alias("b")
         pair = a.join(
             b,
@@ -254,8 +259,11 @@ def embedding_neardup_pairs(
         )
         cands = pair if cands is None else cands.unionByName(pair)
     cands = cands.dropDuplicates(["id_a", "id_b"])
-    return (
+    out = (
         cands.withColumn("cosine", _dot("va", "vb") / (F.col("na") * F.col("nb")))
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+    out.cap_reports = cap_reports
+    out.cached_deps = cached
+    return out

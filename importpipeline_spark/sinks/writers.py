@@ -75,6 +75,7 @@ def write_command(
     working_dir: str | None = None,
     errors_as_warning: bool = False,
     timeout_s: int = 10,
+    quote_args: bool = True,
 ) -> None:
     """CommandEndpoint (Endpoints/CommandEndpoint.cs:37-260): execute a
     side-effecting command per record — ``op`` is one of the reference's
@@ -89,9 +90,14 @@ def write_command(
     (CommandEndpoint.cs:143-150), which logs to stderr and continues.
     exec gets the reference's 10s default timeout (CommandEndpoint.cs:175).
 
-    Caveat (inherited from the reference, which formats record values into a
-    ``cmd /c`` line the same way): exec interpolates FIELD VALUES into a
-    shell command — only use it over trusted/validated columns.
+    Injection safety: exec interpolates FIELD VALUES into a shell line, so
+    by default every parameter is shlex-quoted before substitution
+    (``quote_args=True``) — a crawled column containing ``; rm -rf`` lands
+    as an inert literal argument. The reference formats raw values into a
+    ``cmd /c`` line (CommandEndpoint.cs:124-141); that behavior is available
+    as the explicit opt-in ``quote_args=False`` for templates that embed a
+    value inside an already-quoted context — only use it over
+    trusted/validated columns.
 
     Retry caveat: a failed/speculative Spark task RE-RUNS its whole
     partition, so commands must be idempotent (touch/copy-overwrite are;
@@ -130,7 +136,13 @@ def write_command(
             parms = ["" if v is None else v for v in row]
             try:
                 if op == "exec":
-                    actual = cmd.format(*parms)
+                    import shlex as _shlex
+
+                    exec_parms = (
+                        [_shlex.quote(str(p)) for p in parms]
+                        if quote_args else parms
+                    )
+                    actual = cmd.format(*exec_parms)
                     proc = _sp.run(
                         actual, shell=True, cwd=working_dir,
                         capture_output=True, timeout=timeout_s,

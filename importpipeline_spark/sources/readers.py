@@ -419,7 +419,8 @@ def read_excel(
     """
     import re as _re
 
-    if headers_at > start_at:
+    if 0 <= headers_at and headers_at >= start_at:
+        # == is also an error: the header row would be re-emitted as data
         raise ValueError(
             f"headers_at ({headers_at}) should be < start_at ({start_at})"
         )

@@ -118,6 +118,45 @@ def test_minhash_bucket_cap_bounds_candidates(skewed_corpus, caplog):
     assert minhash_lsh_pairs(sub, max_bucket_size=None).count() == 190
 
 
+def test_ngram_shingle_cap_bounds_candidates(skewed_corpus, caplog):
+    """The exact-Jaccard path's stop-shingle cut (mirror of the LSH bucket
+    cap): a shingle in 300 docs would emit O(300²) pair rows in one task;
+    above the df bound it is excluded from candidate generation, with exact
+    drop accounting attached to the result."""
+    import logging
+
+    with caplog.at_level(logging.WARNING,
+                         logger="importpipeline_spark.operators.dedup"):
+        got = ngram_jaccard_pairs(skewed_corpus, max_shingle_df=50)
+        hot = got.where((F.col("id_a") < 300) & (F.col("id_b") < 300)).count()
+    # the hot shingles are cut: zero quadratic pair blow-up …
+    assert hot == 0
+    # … the cut is logged BY DEFAULT and its exact size is attached
+    assert any("dropped" in r.message for r in caplog.records)
+    rep = got.cap_reports[0]
+    assert rep.dropped_buckets > 0
+    assert rep.dropped_rows >= 300
+    # sanity: with the cap lifted the same docs DO pair up (the cut, not a
+    # tokenization accident, removed them)
+    sub = skewed_corpus.where(F.col("doc_id") < 20)
+    uncapped = ngram_jaccard_pairs(sub, max_shingle_df=None)
+    assert uncapped.count() == 190
+    assert uncapped.cap_reports[0].dropped_buckets == 0
+
+
+def test_cap_reports_and_release_cache(corpus):
+    """Zero-drop runs report zero; cached deps are exposed and releasable."""
+    from importpipeline_spark.operators.dedup import release_cache
+
+    got = minhash_lsh_pairs(corpus, max_bucket_size=10_000)
+    got.collect()
+    assert [r.dropped_buckets for r in got.cap_reports] == [0]
+    assert got.cached_deps  # the persisted signature relation
+    assert all(d.is_cached for d in got.cached_deps)
+    release_cache(got)
+    assert all(not d.is_cached for d in got.cached_deps)
+
+
 def test_simhash_bucket_cap_bounds_candidates(skewed_corpus):
     got = simhash_pairs(skewed_corpus, max_hamming=3, max_bucket_size=50)
     hot = got.where((F.col("id_a") < 300) & (F.col("id_b") < 300)).count()
