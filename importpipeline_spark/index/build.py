@@ -205,6 +205,85 @@ def build_docs_and_tf(pages: DataFrame) -> DataFrame:
     )
 
 
+_FUSED_SAFE_SCHEMA = (
+    "url string, warc_ts timestamp, lang string, text string, doc_len int, "
+    "tf_pairs array<struct<term:string,tf:int>>, error string"
+)
+
+
+def build_docs_and_tf_safe(pages: DataFrame):
+    """Fused QUARANTINING build pass: build_docs_and_tf's one-Arrow-round-trip
+    shape (extract + tokenize + per-doc term counts in a single mapInPandas)
+    plus build_docs_safe's per-record error capture — the crash-safe build
+    path needs both, and chaining the three separate UDF passes costs ~2× the
+    Python time of the fused kernel at bench scale.
+
+    Returns ``(docs, errors, raw)``: docs = good rows with tf_pairs (no
+    ``tokens`` column — tf_pairs already carries the term counts), errors =
+    quarantine records (same fields as build_docs_safe), raw = the shared
+    fused parent of both — persist THIS one, so the docs write and the errors
+    write don't each re-run extraction.
+    """
+    import traceback as _tb
+    from collections import Counter
+    from typing import Iterator as _It
+
+    from ..html.htmltext import html_to_text as _h2t
+    from ..text.tokenizer import tokenize_series as _tok_series
+
+    def run(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        for pdf in batches:
+            texts, errs = [], []
+            for v in pdf["html"]:
+                try:
+                    if v is None:
+                        texts.append(None)
+                        errs.append(None)
+                        continue
+                    if isinstance(v, (bytes, bytearray)):
+                        v = bytes(v).decode("utf-8", errors="replace")
+                    texts.append(_h2t(v))
+                    errs.append(None)
+                except Exception as e:  # noqa: BLE001 — quarantine by design
+                    texts.append(None)
+                    errs.append(
+                        f"{type(e).__name__}: {e} | "
+                        + _tb.format_exc(limit=2).replace("\n", " ")
+                    )
+            tok_lists = _tok_series(pd.Series(texts, dtype=object))
+            lens, pairs = [], []
+            for toks in tok_lists:
+                if toks is None or isinstance(toks, float):
+                    lens.append(0)
+                    pairs.append(None)
+                else:
+                    lens.append(len(toks))
+                    pairs.append(list(Counter(toks).items()))
+            yield pd.DataFrame(
+                {
+                    "url": pdf["url"],
+                    "warc_ts": pdf["warc_ts"],
+                    "lang": pdf["lang"],
+                    "text": texts,
+                    "doc_len": pd.array(lens, dtype="int32"),
+                    "tf_pairs": pairs,
+                    "error": errs,
+                }
+            )
+
+    raw = pages.mapInPandas(run, schema=_FUSED_SAFE_SCHEMA).withColumn(
+        "doc_id", F.xxhash64(F.col("url"))
+    )
+    errors = raw.where(F.col("error").isNotNull()).select(
+        "url",
+        F.lit("extract").alias("stage"),
+        F.col("error").alias("error"),
+        F.current_timestamp().alias("ts"),
+    )
+    docs = raw.where(F.col("error").isNull()).drop("error")
+    return docs, errors, raw
+
+
 def build_doclen(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", "doc_len")
 

@@ -11,11 +11,15 @@ gate Datasources/StreamDatasourceBase.cs:110-134) as snapshot anti-joins.
 Build shape:
   phase A (once per run): docs + doclen + terms + stats written to the index
   root — the global-stats pass.
-  phase B (resumable loop): one segment per doc-range shard group; each
-  segment encodes its shards' postings and appends a lineage row on success.
-  A restarted run reads the lineage, skips finished segments, and rebuilds
-  only the missing ones — final index bit-identical to an uninterrupted run
-  (verified in tests).
+  phase B (resumable loop): segments (= doc-range shards) are encoded in
+  BATCHES of ``batch_size`` per Spark job — one cogroup keyed by shard, so a
+  batch of K segments runs as K parallel tasks (a cluster stays busy), while
+  each segment still commits its own lineage row (resume granularity stays
+  per-segment). A restarted run reads the lineage, skips finished segments,
+  and rebuilds only the missing ones — final index bit-identical to an
+  uninterrupted run, including kills mid-batch (files land before lineage;
+  an un-lineaged segment is deterministically re-encoded on resume).
+  Verified in tests.
 
 Errors are quarantined per record (mirrors ESEndpoint.SaveError,
 Endpoints/ESEndpoint.cs:457-471) into <root>/errors/.
@@ -26,6 +30,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import sys
 from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -34,6 +39,7 @@ from ..text.tokenizer import ANALYZER_VERSION
 from .build import (
     K1,
     B,
+    build_docs_and_tf_safe,
     build_docs_safe,
     build_tf,
     corpus_stats,
@@ -139,12 +145,18 @@ def build_index_resumable(
     input_snapshot: str = "snap1",
     fail_after_segment: int | None = None,
     dict_files: int = 4,
+    batch_size: int | None = None,
 ) -> PhysicalIndex:
     """Segmented, resumable physical index build.
 
-    ``fail_after_segment`` injects a crash between segments (tests only).
-    Re-invoking with the same root resumes: phase A is recomputed only if its
-    outputs are missing; finished segments (lineage status=ok) are skipped.
+    ``fail_after_segment`` injects a crash between segment commits (tests
+    only; with batching this exercises the mid-batch kill window — some of a
+    batch's segments lineage-committed, the rest not).
+    ``batch_size`` = segments encoded per Spark job (default: the session's
+    defaultParallelism, i.e. fill the cluster); each job runs its batch as
+    parallel per-shard tasks. Re-invoking with the same root resumes: phase
+    A is recomputed only if its outputs are missing; finished segments
+    (lineage status=ok for the same input_snapshot) are skipped.
     """
     os.makedirs(root, exist_ok=True)
     stats_path = os.path.join(root, "stats.json")
@@ -160,24 +172,122 @@ def build_index_resumable(
                 "use update_index for incremental changes or a fresh root"
             )
 
+    docs_cached = None
+    docs = None
+    pool = None
+    phase_a_futures = None
     if not phase_a_done:
-        docs, errors = build_docs_safe(pages)
-        docs = docs.persist()
-        docs.drop("tokens").write.mode("overwrite").parquet(docs_path)
-        errors.write.mode("overwrite").parquet(os.path.join(root, "errors"))
-        n_errors = _count_error_urls(spark, root)
-        tf = build_tf(docs).persist()
-        (
-            docs.select("doc_id", "doc_len")
-            .withColumn("shard", shard_of(F.col("doc_id"), n_shards))
-            .repartition(n_shards, "shard")
-            .sortWithinPartitions("doc_id")
-            .write.mode("overwrite")
-            .partitionBy("shard")
-            .parquet(os.path.join(root, "doclen"))
-        )
-        stats = dict(
-            corpus_stats(docs),
+        from concurrent.futures import ThreadPoolExecutor
+
+        # ONE fused Arrow pass (extract+tokenize+tf) with quarantine — the
+        # same kernel shape as write_index; the shared raw parent is what
+        # gets cached so docs and errors writes don't re-extract
+        docs, errors, raw = build_docs_and_tf_safe(pages)
+        raw = raw.persist()
+        docs_cached = raw
+        # the four phase-A outputs are independent jobs over the cached raw
+        # AND independent of phase B's posting batches: submit them
+        # concurrently (job submission is thread-safe) and only JOIN them
+        # after the batch loop. stats.json — the phase-A-done marker — is
+        # written last; a crash before it simply reruns phase A on resume,
+        # while already-lineaged segments stay skipped.
+        def _w_docs():
+            docs.drop("tf_pairs").write.mode("overwrite").parquet(docs_path)
+
+        def _w_errors():
+            errors.write.mode("overwrite").parquet(os.path.join(root, "errors"))
+
+        def _w_doclen():
+            (
+                docs.select("doc_id", "doc_len")
+                .withColumn("shard", shard_of(F.col("doc_id"), n_shards))
+                .repartition(n_shards, "shard")
+                .sortWithinPartitions("doc_id")
+                .write.mode("overwrite")
+                .partitionBy("shard")
+                .parquet(os.path.join(root, "doclen"))
+            )
+
+        pool = ThreadPoolExecutor(max_workers=4)
+        phase_a_futures = [
+            pool.submit(_w_docs),
+            pool.submit(_w_errors),
+            pool.submit(_w_doclen),
+            pool.submit(corpus_stats, docs),
+        ]
+        stats = None
+    else:
+        with open(stats_path) as f:
+            stats = json.load(f)
+
+    # phase B: per-segment postings (segment == doc-range shard); only
+    # segments recorded ok FOR THIS INPUT SNAPSHOT count as finished
+    done = _finished_segments(root, input_snapshot)
+    if docs is not None:
+        # fresh run: phase A's fused pass is still cached — tf is a plain
+        # JVM explode of its tf_pairs (no second Python pass over the corpus)
+        tf = docs.select(
+            "doc_id", F.explode("tf_pairs").alias("p")
+        ).select("doc_id", F.col("p.term").alias("term"), F.col("p.tf").alias("tf"))
+        dl_src = docs
+    else:
+        # resume: tf is recomputed from the persisted docs' text (docs
+        # parquet stores text, not tokens, to stay lean; only the missing
+        # segments' shards are actually encoded below)
+        from ..text.tokenizer import tokenize_udf
+
+        docs_df = spark.read.parquet(docs_path)
+        docs_tok = docs_df.withColumn("tokens", tokenize_udf(F.col("text")))
+        tf = build_tf(docs_tok)
+        dl_src = docs_df
+    tf = tf.withColumn("shard", shard_of(F.col("doc_id"), n_shards))
+    dl = dl_src.select(F.col("doc_id").alias("dl_doc_id"), "doc_len").withColumn(
+        "shard", shard_of(F.col("dl_doc_id"), n_shards)
+    )
+
+    todo = [s for s in range(n_shards) if s not in done]
+    if batch_size is None:
+        # two task waves per batch job: keeps every core busy with straggler
+        # absorption while halving the number of commit barriers vs one wave
+        batch_size = max(1, 2 * spark.sparkContext.defaultParallelism)
+    # on RESUME, tf goes through a Python tokenize pass — cache it across
+    # batches. (Fresh runs explode the already-cached fused tf_pairs JVM-side,
+    # which is cheaper per batch than materializing the exploded relation.)
+    tf_cached = None
+    if docs is None and len(todo) > batch_size:
+        tf = tf.persist()
+        tf_cached = tf
+    # per-shard doc counts for ALL remaining segments in one job (they feed
+    # lineage rows only, so computing them up front is crash-equivalent)
+    ndocs = {}
+    if todo:
+        ndocs = {
+            int(r.shard): int(r["count"])
+            for r in dl.where(F.col("shard").isin(todo))
+            .groupBy("shard").count().collect()
+        }
+    batch_tmp = os.path.join(root, "postings_batch_tmp")
+
+    def _finalize_phase_a(block: bool) -> dict | None:
+        """Join the concurrent phase-A jobs and write stats.json (the
+        phase-A-done marker). With block=False, only finalizes if every
+        future already finished — called between batches so the marker lands
+        as early as possible (a crash after it never re-extracts on resume).
+        """
+        if not (block or all(f.done() for f in phase_a_futures)):
+            return None
+        errs = []
+        for f in phase_a_futures:
+            try:
+                f.result()
+            except Exception as e:  # surfaced after all have settled
+                errs.append(e)
+        pool.shutdown()
+        if errs:
+            raise errs[0]
+        cs = phase_a_futures[3].result()
+        s = dict(
+            cs,
             analyzer=ANALYZER_VERSION,
             k1=K1,
             b=B,
@@ -186,79 +296,105 @@ def build_index_resumable(
             run_id=run_id,
             input_snapshot=input_snapshot,
             # run-level error counter (ImportReport.cs:92-209 'errors')
-            n_errors=n_errors,
+            n_errors=_count_error_urls(spark, root),
         )
-        _write_stats_atomic(root, stats)
-        tf.unpersist()
-        docs.unpersist()
-    with open(stats_path) as f:
-        stats = json.load(f)
+        _write_stats_atomic(root, s)
+        return s
 
-    # phase B: per-segment postings (segment == doc-range shard); only
-    # segments recorded ok FOR THIS INPUT SNAPSHOT count as finished
-    done = _finished_segments(root, input_snapshot)
-    docs_df = spark.read.parquet(docs_path)
-    # tf is recomputed from the persisted docs' text (docs parquet drops the
-    # tokens column to stay lean; tokens are cheap to rebuild and phase B
-    # touches only the missing segments' shards)
-    from ..text.tokenizer import tokenize_udf
-
-    docs_tok = docs_df.withColumn("tokens", tokenize_udf(F.col("text")))
-    tf = build_tf(docs_tok).withColumn("shard", shard_of(F.col("doc_id"), n_shards))
-    dl = docs_df.select(F.col("doc_id").alias("dl_doc_id"), "doc_len").withColumn(
-        "shard", shard_of(F.col("dl_doc_id"), n_shards)
-    )
-
-    # NOTE: the segment output must NOT be projected (.drop/.select) between
-    # applyInPandas and the write — Spark 4.1's optimizer pushes that pruning
-    # through FlatMapCoGroupsInPandas and strips needed columns from the
-    # cogroup INPUT pdfs (observed: doc_id vanishing from the right side).
-    # The shard column is therefore dropped pandas-side inside the kernel.
-    seg_schema = POSTINGS_SCHEMA.replace("shard int, ", "")
-
-    def _encode_no_shard(l, r):
-        return _encode_shard(l, r).drop(columns=["shard"])
-
-    todo = [s for s in range(n_shards) if s not in done]
-    for i, seg in enumerate(todo):
-        started = datetime.now(timezone.utc).isoformat()
-        seg_tf = tf.where(F.col("shard") == seg)
-        seg_dl = dl.where(F.col("shard") == seg)
-        out = (
-            seg_tf.groupBy("shard")
-            .cogroup(seg_dl.groupBy("shard"))
-            .applyInPandas(_encode_no_shard, seg_schema)
-        )
-        path = _seg_path(root, seg)
-        shutil.rmtree(path, ignore_errors=True)
-        out.write.mode("overwrite").parquet(path)
-        seg_meta = spark.read.parquet(path).agg(
-            F.count(F.lit(1)).alias("blocks"),
-            F.sum("n").alias("postings"),
-            F.count_distinct("term").alias("terms"),
-        ).first()
-        n_docs_seg = seg_dl.count()
-        _append_lineage(
-            root,
-            {
-                "run_id": run_id,
-                "segment_id": seg,
-                "input_snapshot": input_snapshot,
-                "n_docs": int(n_docs_seg),
-                "n_postings": int(seg_meta.postings or 0),
-                "status": "ok",
-                "started_ts": started,
-                "finished_ts": datetime.now(timezone.utc).isoformat(),
-                # per-segment metrics (mirrors DatasourceReport counters —
-                # ImportReport.cs:92-209)
-                "metrics": {
-                    "blocks": int(seg_meta.blocks),
-                    "distinct_terms": int(seg_meta.terms),
-                },
-            },
-        )
-        if fail_after_segment is not None and i >= fail_after_segment:
-            raise RuntimeError(f"injected failure after segment {seg}")
+    pos = 0
+    try:
+        for start in range(0, len(todo), batch_size):
+            batch = todo[start:start + batch_size]
+            started = datetime.now(timezone.utc).isoformat()
+            seg_tf = tf.where(F.col("shard").isin(batch))
+            seg_dl = dl.where(F.col("shard").isin(batch))
+            # ONE cogroup job for the whole batch: keyed by shard, so the K
+            # segments encode as K parallel tasks. The kernel's output keeps
+            # the shard column and is written partitionBy(shard) with NO
+            # projection in between — Spark 4.1's optimizer would push a
+            # .drop/.select through FlatMapCoGroupsInPandas and strip needed
+            # columns from the cogroup INPUT pdfs (observed: doc_id
+            # vanishing from the dl side).
+            out = (
+                seg_tf.groupBy("shard")
+                .cogroup(seg_dl.groupBy("shard"))
+                .applyInPandas(lambda l, r: _encode_shard(l, r), POSTINGS_SCHEMA)
+            )
+            shutil.rmtree(batch_tmp, ignore_errors=True)
+            out.write.mode("overwrite").partitionBy("shard").parquet(batch_tmp)
+            # per-segment counters for the whole batch in two small jobs
+            try:
+                meta = {
+                    int(r.shard): r
+                    for r in spark.read.parquet(batch_tmp)
+                    .groupBy("shard")
+                    .agg(
+                        F.count(F.lit(1)).alias("blocks"),
+                        F.sum("n").alias("postings"),
+                        F.count_distinct("term").alias("terms"),
+                    )
+                    .collect()
+                }
+            except Exception:
+                meta = {}  # every shard in the batch was empty (no footers)
+            # commit each segment: files into place FIRST, lineage row after
+            # — a kill between the two just re-encodes that segment on
+            # resume (deterministic, so the final bytes are identical)
+            for seg in batch:
+                path = _seg_path(root, seg)
+                os.makedirs(os.path.dirname(path), exist_ok=True)
+                shutil.rmtree(path, ignore_errors=True)
+                src = os.path.join(batch_tmp, f"shard={seg}")
+                if os.path.exists(src):
+                    os.rename(src, path)
+                else:  # doc range with no postings at all
+                    os.makedirs(path, exist_ok=True)
+                m = meta.get(seg)
+                _append_lineage(
+                    root,
+                    {
+                        "run_id": run_id,
+                        "segment_id": seg,
+                        "input_snapshot": input_snapshot,
+                        "n_docs": ndocs.get(seg, 0),
+                        "n_postings": int(m.postings) if m is not None else 0,
+                        "status": "ok",
+                        "started_ts": started,
+                        "finished_ts": datetime.now(timezone.utc).isoformat(),
+                        # per-segment metrics (mirrors DatasourceReport
+                        # counters — ImportReport.cs:92-209)
+                        "metrics": {
+                            "blocks": int(m.blocks) if m is not None else 0,
+                            "distinct_terms": int(m.terms) if m is not None else 0,
+                        },
+                    },
+                )
+                if fail_after_segment is not None and pos >= fail_after_segment:
+                    raise RuntimeError(f"injected failure after segment {seg}")
+                pos += 1
+            shutil.rmtree(batch_tmp, ignore_errors=True)
+            if stats is None:
+                stats = _finalize_phase_a(block=False)
+    finally:
+        # join the concurrent phase-A jobs BEFORE leaving (even on the
+        # crash path: a caller that immediately resumes must not race
+        # still-running background writes)
+        if stats is None:
+            if sys.exc_info()[1] is not None:
+                # an exception is in flight: join quietly so it propagates
+                # unmasked; stats.json stays unwritten → phase A reruns
+                for f in phase_a_futures:
+                    try:
+                        f.result()
+                    except Exception:
+                        pass
+                pool.shutdown()
+            else:
+                stats = _finalize_phase_a(block=True)
+    if tf_cached is not None:
+        tf_cached.unpersist()
+    if docs_cached is not None:
+        docs_cached.unpersist()
 
     # dictionary derived from the completed posting segments — idempotent,
     # so a resumed run just re-derives it (single impl: store.py)
@@ -280,60 +416,81 @@ def _rebuild_shards(spark, root: str, affected, n_shards: int,
                     run_id: str, input_snapshot: str) -> None:
     """Re-encode postings + doclen partitions for the given shards from the
     CURRENT docs table. Idempotent (deterministic encode), so safe to re-run
-    during crash recovery."""
+    during crash recovery.
+
+    All affected shards encode in ONE cogroup job (keyed by shard → one
+    parallel task per shard) and one doclen write; the per-shard directory
+    swaps happen afterwards. A kill mid-swap is covered by the caller's
+    marker protocol (recover_update re-runs the whole rebuild)."""
     from ..text.tokenizer import tokenize_udf
 
+    affected = sorted(int(s) for s in affected)
     docs_df = spark.read.parquet(os.path.join(root, "docs"))
     sh = shard_of(F.col("doc_id"), n_shards)
-    docs_aff = docs_df.where(sh.isin(list(affected)))
+    docs_aff = docs_df.where(sh.isin(affected))
     docs_tok = docs_aff.withColumn("tokens", tokenize_udf(F.col("text")))
     tf = build_tf(docs_tok).withColumn("shard", shard_of(F.col("doc_id"), n_shards))
     dl = docs_aff.select(F.col("doc_id").alias("dl_doc_id"), "doc_len").withColumn(
         "shard", shard_of(F.col("dl_doc_id"), n_shards)
     )
-    seg_schema = POSTINGS_SCHEMA.replace("shard int, ", "")
 
-    def _encode_no_shard(l, r):
-        return _encode_shard(l, r).drop(columns=["shard"])
+    started = datetime.now(timezone.utc).isoformat()
+    # no projection between applyInPandas and the write (Spark 4.1 would push
+    # the pruning into the cogroup inputs); the shard column partitions out
+    out = (
+        tf.groupBy("shard")
+        .cogroup(dl.groupBy("shard"))
+        .applyInPandas(lambda l, r: _encode_shard(l, r), POSTINGS_SCHEMA)
+    )
+    post_tmp = os.path.join(root, "postings_rebuild_tmp")
+    shutil.rmtree(post_tmp, ignore_errors=True)
+    out.write.mode("overwrite").partitionBy("shard").parquet(post_tmp)
+    dl_tmp = os.path.join(root, "doclen_rebuild_tmp")
+    shutil.rmtree(dl_tmp, ignore_errors=True)
+    (
+        dl.select(F.col("dl_doc_id").alias("doc_id"), "doc_len", "shard")
+        .repartition(max(1, len(affected)), "shard")
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(dl_tmp)
+    )
+    ndocs = {
+        int(r.shard): int(r["count"])
+        for r in dl.groupBy("shard").count().collect()
+    }
 
     for seg in affected:
-        out = (
-            tf.where(F.col("shard") == seg).groupBy("shard")
-            .cogroup(dl.where(F.col("shard") == seg).groupBy("shard"))
-            .applyInPandas(_encode_no_shard, seg_schema)
-        )
         path = _seg_path(root, seg)
-        tmp_path = path + ".tmp"
-        shutil.rmtree(tmp_path, ignore_errors=True)
-        out.write.mode("overwrite").parquet(tmp_path)
         shutil.rmtree(path, ignore_errors=True)
-        os.rename(tmp_path, path)
+        src = os.path.join(post_tmp, f"shard={seg}")
+        if os.path.exists(src):
+            os.rename(src, path)
+        else:  # every doc of this shard was deleted
+            os.makedirs(path, exist_ok=True)
         dl_path = os.path.join(root, "doclen", f"shard={seg}")
-        dl_tmp = dl_path + ".tmp"
-        shutil.rmtree(dl_tmp, ignore_errors=True)
-        (
-            dl.where(F.col("shard") == seg)
-            .select(F.col("dl_doc_id").alias("doc_id"), "doc_len")
-            .sortWithinPartitions("doc_id")
-            .write.mode("overwrite")
-            .parquet(dl_tmp)
-        )
         shutil.rmtree(dl_path, ignore_errors=True)
-        os.rename(dl_tmp, dl_path)
+        dl_src = os.path.join(dl_tmp, f"shard={seg}")
+        if os.path.exists(dl_src):
+            os.rename(dl_src, dl_path)
+        else:
+            os.makedirs(dl_path, exist_ok=True)
         _append_lineage(
             root,
             {
                 "run_id": run_id,
                 "segment_id": int(seg),
                 "input_snapshot": input_snapshot,
-                "n_docs": int(dl.where(F.col("shard") == seg).count()),
+                "n_docs": ndocs.get(seg, 0),
                 "n_postings": None,
                 "status": "ok",
-                "started_ts": datetime.now(timezone.utc).isoformat(),
+                "started_ts": started,
                 "finished_ts": datetime.now(timezone.utc).isoformat(),
                 "metrics": {"incremental": 1},
             },
         )
+    shutil.rmtree(post_tmp, ignore_errors=True)
+    shutil.rmtree(dl_tmp, ignore_errors=True)
 
 
 def _refresh_stats_terms(spark, root: str, run_id: str, input_snapshot: str) -> dict:

@@ -117,14 +117,31 @@ class LocalSearcher:
 
     def search(self, query: str, k: int = 10) -> List[Tuple[int, float]]:
         """→ [(doc_id, score)], ranked (score DESC, doc_id ASC); bit-identical
-        to bm25_topk_wand / the exhaustive oracle."""
+        to bm25_topk_wand / the exhaustive oracle.
+
+        After each call ``last_stats`` holds the query's pruning accounting:
+        candidate blocks/postings for its terms vs how many the kernel
+        actually decoded+scored (the interval sweep skips blocks whose upper
+        bound falls below the running top-k threshold; the exhaustive branch
+        decodes all of them)."""
         terms = sorted({t for t in analyze_query(query) if t in self._df})
         if not terms or self.n == 0:
+            self.last_stats = {"blocks_total": 0, "blocks_decoded": 0,
+                               "postings_total": 0, "postings_decoded": 0}
             return []
         si = self._make_shard_index(terms)
         if si is None:
+            self.last_stats = {"blocks_total": 0, "blocks_decoded": 0,
+                               "postings_total": 0, "postings_decoded": 0}
             return []
         docs, scores = _sweep(si, np.arange(len(si.ns)), k)
+        decoded = list(si._decoded)
+        self.last_stats = {
+            "blocks_total": int(len(si.ns)),
+            "blocks_decoded": len(decoded),
+            "postings_total": int(si.ns.sum()),
+            "postings_decoded": int(si.ns[decoded].sum()) if decoded else 0,
+        }
         return list(zip(from_u64(docs).tolist(), scores.tolist()))
 
     def _make_shard_index(self, terms: List[str]):

@@ -39,9 +39,15 @@ def _postings_frame(root):
 def test_kill_and_resume_bit_identical(spark, tmp_path):
     pages = gen_pages_df(spark, N, seed=42, partitions=4)
 
+    # clean build uses small batches (8 shards → 3 jobs of 3/3/2 parallel
+    # tasks); the crash build uses the default one-big-batch — bit-identity
+    # across the two also proves batching never changes the bytes
     clean_root = str(tmp_path / "clean")
-    build_index_resumable(spark, pages, clean_root, n_shards=8)
+    build_index_resumable(spark, pages, clean_root, n_shards=8, batch_size=3)
 
+    # default batch covers the mid-batch kill window: the injected failure
+    # fires after 3 of the batch's 8 segments committed lineage, leaving
+    # already-encoded files for the rest that resume must redo/commit
     crash_root = str(tmp_path / "crash")
     with pytest.raises(RuntimeError, match="injected failure"):
         build_index_resumable(
