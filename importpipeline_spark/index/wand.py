@@ -16,9 +16,12 @@ blocks' bounds (the classic block-max WAND bound, Ding & Suel 2011, computed
 with a difference array instead of per-doc pivoting so the hot path stays in
 numpy). Block bounds come from stats-independent metadata (max_tf, min_dl):
 BM25 is monotone ↑tf/↓dl, so score(max_tf, min_dl) bounds every member under
-the current global stats. Intervals are processed in descending-bound order,
-scoring candidates exactly and maintaining the running top-k threshold θ;
-processing stops when the next bound < θ (bounds carry a 1+1e-12 margin
+the current global stats. Intervals are processed in descending-bound order
+in geometrically growing CHUNKS (coalesced into contiguous doc ranges, one
+vectorized accumulation per chunk — an interval-at-a-time loop measured 2-6×
+slower than exhaustive scoring on flat-bound corpora); the running top-k
+threshold θ is re-derived between chunks and everything bounding below it is
+skipped, including whole undecoded blocks (bounds carry a 1+1e-12 margin
 against float summation-order effects). Scores accumulate per doc in
 ascending term order, strictly sequentially, in float64 — bit-identical to
 the exhaustive oracle. Ties break (score DESC, doc_id ASC).
@@ -141,18 +144,10 @@ class _ShardIndex:
         return self._decoded[bi]
 
 
-def _score_all(si: _ShardIndex, sel: np.ndarray, k: int):
-    """Fully-vectorized exhaustive scoring of the selected blocks — faster
-    than interval pruning when the candidate set is modest or bounds are
-    flat (uniform head-term disjunctions). Bit-identical accumulation: parts
-    are gathered in ascending term order, stable-sorted by doc, summed
-    sequentially per doc."""
-    order = np.argsort(si.tcodes[sel], kind="stable")
-    d_parts, c_parts = [], []
-    for bi in sel[order]:
-        du, contrib = si.decode(int(bi))
-        d_parts.append(du)
-        c_parts.append(contrib)
+def _accumulate(d_parts, c_parts):
+    """Shared bit-identical accumulation: parts (already in ascending term
+    order per doc) are stable-sorted by doc and summed strictly sequentially
+    per doc segment. Returns (seg_docs, seg_scores)."""
     docs = np.concatenate(d_parts)
     contribs = np.concatenate(c_parts)
     srt = np.argsort(docs, kind="stable")
@@ -165,6 +160,22 @@ def _score_all(si: _ShardIndex, sel: np.ndarray, k: int):
     for p in range(int(lengths.max())):
         m = lengths > p
         seg_scores[m] += contribs[starts[m] + p]
+    return seg_docs, seg_scores
+
+
+def _score_all(si: _ShardIndex, sel: np.ndarray, k: int):
+    """Fully-vectorized exhaustive scoring of the selected blocks — faster
+    than interval pruning when the candidate set is modest or bounds are
+    flat (uniform head-term disjunctions). Bit-identical accumulation: parts
+    are gathered in ascending term order, stable-sorted by doc, summed
+    sequentially per doc."""
+    order = np.argsort(si.tcodes[sel], kind="stable")
+    d_parts, c_parts = [], []
+    for bi in sel[order]:
+        du, contrib = si.decode(int(bi))
+        d_parts.append(du)
+        c_parts.append(contrib)
+    seg_docs, seg_scores = _accumulate(d_parts, c_parts)
     top = np.lexsort((seg_docs, -seg_scores))[:k]
     return seg_docs[top], seg_scores[top]
 
@@ -172,6 +183,22 @@ def _score_all(si: _ShardIndex, sel: np.ndarray, k: int):
 # below this many candidate postings, exhaustive vectorized scoring beats
 # the per-interval Python loop (interval pruning wins on long tails)
 _EXHAUSTIVE_CUTOFF = 500_000
+
+# chunked sweep: intervals are processed in descending-bound order in
+# geometrically growing batches, re-computing the pruning threshold between
+# chunks. An interval-at-a-time loop measured 2-6× slower than _score_all on
+# the 600k-doc corpus (flat bounds, tiny numpy calls per interval dominate);
+# chunking amortizes that into ~log₄(n) batched accumulations while keeping
+# exact block-max pruning (everything bounding below the running θ after a
+# chunk is skipped, and θ is already near-final after the first chunk of
+# highest-bound intervals — the point of the descending order).
+_CHUNK0 = 32
+_CHUNK_GROWTH = 4
+# after a chunk, if fewer than this fraction of the remaining intervals fall
+# below the refreshed threshold, pruning isn't paying — finish everything
+# above it in one batch instead of more chunks (flat-bound corpora converge
+# to two passes ≈ _score_all cost)
+_MIN_SKIP_FRAC = 0.3
 
 
 def _sweep(si: _ShardIndex, sel: np.ndarray, k: int, theta0: float = -np.inf):
@@ -198,59 +225,71 @@ def _sweep(si: _ShardIndex, sel: np.ndarray, k: int, theta0: float = -np.inf):
     np.add.at(diff, i1, -ms)
     ub = np.cumsum(diff)[:n_iv]
 
-    iv_blocks: List[List[int]] = [[] for _ in range(n_iv)]
-    for si_idx in range(len(sel)):
-        for j in range(i0[si_idx], i1[si_idx]):
-            iv_blocks[j].append(si_idx)
-
     order_iv = np.argsort(-ub, kind="stable")
+    sorted_bounds = ub[order_iv]  # descending
+    # gap intervals (no covering block → bound 0) sort to the tail; only
+    # positive-bound intervals are ever candidates
+    n_pos_iv = int(np.count_nonzero(sorted_bounds > 0.0))
     top_docs = np.empty(0, dtype=np.uint64)
     top_scores = np.empty(0, dtype=np.float64)
     theta = -np.inf
-    for j in order_iv:
-        bound = ub[j]
-        if bound <= 0.0:
-            break
+    block_order = np.argsort(tc, kind="stable")  # ascending term order
+    pos = 0
+    chunk = _CHUNK0
+    while pos < n_pos_iv:
         thresh = max(theta, theta0) if len(top_scores) == k else theta0
-        if bound < thresh:
+        # intervals at positions >= pos bounding below thresh can never
+        # contribute a top-k doc: every member doc's score ≤ its interval
+        # bound < thresh ≤ the final k-th score (theta only rises) — skipped
+        rem = sorted_bounds[pos:n_pos_iv]
+        n_above = int(np.searchsorted(-rem, -thresh, side="right"))
+        if n_above == 0:
             break
-        lo, hi = points[j], points[j + 1]
-        # ascending term order → canonical float accumulation per doc
-        blocks = sorted(iv_blocks[j], key=lambda x: tc[x])
+        if pos > 0 and n_above >= (1.0 - _MIN_SKIP_FRAC) * len(rem):
+            take = n_above  # pruning isn't biting — one final batch
+        else:
+            take = min(chunk, n_above)
+        # this chunk = the `take` highest-bound unprocessed intervals,
+        # coalesced into maximal contiguous doc ranges so each block is
+        # sliced per run instead of per elementary interval
+        batch_iv = np.sort(order_iv[pos:pos + take])
+        brk = np.nonzero(np.diff(batch_iv) > 1)[0]
+        run_lo = points[batch_iv[np.concatenate(([0], brk + 1))]]
+        run_hi = points[batch_iv[np.concatenate((brk, [len(batch_iv) - 1]))] + 1]
         d_parts, c_parts = [], []
-        for x in blocks:
-            du, contrib = si.decode(int(sel[x]))
-            s0 = np.searchsorted(du, lo, side="left")
-            s1 = np.searchsorted(du, hi, side="left")
-            if s0 == s1:
+        # blocks visited in ascending term order; each doc lives in exactly
+        # one interval (hence one run, in one chunk), so its contributions
+        # accumulate term-ascending — the canonical order, bit-identical to
+        # an interval-at-a-time sweep and to _score_all
+        for x in block_order:
+            # metadata reject: block entirely outside this chunk's runs —
+            # this is where pruning skips DECODES, not just score work
+            r0 = int(np.searchsorted(run_hi, min_u[x], side="right"))
+            r1 = int(np.searchsorted(run_lo, max_u[x], side="right"))
+            if r0 >= r1:
                 continue
-            d_parts.append(du[s0:s1])
-            c_parts.append(contrib[s0:s1])
-        if not d_parts:
-            continue
-        docs = np.concatenate(d_parts)
-        contribs = np.concatenate(c_parts)
-        srt = np.argsort(docs, kind="stable")  # stable: keeps term order per doc
-        docs = docs[srt]
-        contribs = contribs[srt]
-        starts = np.nonzero(np.concatenate(([True], docs[1:] != docs[:-1])))[0]
-        seg_docs = docs[starts]
-        # strictly sequential left-to-right per-segment summation (ascending
-        # term order) — np.add.reduceat would use pairwise reduction and
-        # drift a ulp from the oracle's accumulation order
-        lengths = np.diff(np.concatenate((starts, [len(docs)])))
-        seg_scores = np.zeros(len(starts), dtype=np.float64)
-        for p in range(int(lengths.max())):
-            m = lengths > p
-            seg_scores[m] += contribs[starts[m] + p]
-        # merge into running top-k (tie-break: score DESC, doc ASC)
-        all_docs = np.concatenate([top_docs, seg_docs])
-        all_scores = np.concatenate([top_scores, seg_scores])
-        ord2 = np.lexsort((all_docs, -all_scores))[:k]
-        top_docs = all_docs[ord2]
-        top_scores = all_scores[ord2]
-        if len(top_scores) == k:
-            theta = top_scores[-1]
+            du, contrib = si.decode(int(sel[x]))
+            for ri in range(r0, r1):
+                s0 = np.searchsorted(du, run_lo[ri], side="left")
+                s1 = np.searchsorted(du, run_hi[ri], side="left")
+                if s0 < s1:
+                    d_parts.append(du[s0:s1])
+                    c_parts.append(contrib[s0:s1])
+        if d_parts:
+            # strictly sequential per-doc summation in term order —
+            # np.add.reduceat would use pairwise reduction and drift a ulp
+            # from the oracle's accumulation order
+            seg_docs, seg_scores = _accumulate(d_parts, c_parts)
+            # merge into running top-k (tie-break: score DESC, doc ASC)
+            all_docs = np.concatenate([top_docs, seg_docs])
+            all_scores = np.concatenate([top_scores, seg_scores])
+            ord2 = np.lexsort((all_docs, -all_scores))[:k]
+            top_docs = all_docs[ord2]
+            top_scores = all_scores[ord2]
+            if len(top_scores) == k:
+                theta = top_scores[-1]
+        pos += take
+        chunk *= _CHUNK_GROWTH
     return top_docs, top_scores
 
 
