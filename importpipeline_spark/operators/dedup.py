@@ -56,12 +56,16 @@ class CapReport:
 
 
 def release_cache(df: DataFrame) -> None:
-    """Unpersist the intermediate frames a dedup/similarity operator cached
-    while building ``df`` (attached as ``df.cached_deps``). Call after the
-    result is materialized (collect/write) in long-lived sessions — the
-    caches are only useful while the returned plan may still re-execute."""
+    """Release the resources a dedup/similarity operator pinned while
+    building ``df``: unpersist frames attached as ``df.cached_deps`` and
+    destroy broadcasts attached as ``df.broadcast_deps`` (e.g. ivf_build's
+    centroid matrix). Call after the result is materialized (collect/write)
+    in long-lived sessions — the resources are only useful while the
+    returned plan may still re-execute."""
     for dep in getattr(df, "cached_deps", []):
         dep.unpersist()
+    for bc in getattr(df, "broadcast_deps", []):
+        bc.destroy()
 
 
 def _cap_buckets(

@@ -179,9 +179,12 @@ def ivf_build(
         for r in rows:
             new_c[int(r.cell)] = [float(x) for x in r.centroid]
         centroids = new_c
-    # the final assignment's broadcast must outlive the returned lazy frame
-    assign, _final_bc = _make_assign_udf(spark, centroids)
+    # the final assignment's broadcast must outlive the returned lazy frame;
+    # it is handed to the caller via broadcast_deps so long-lived sessions
+    # can destroy it once the frame is materialized (dedup.release_cache)
+    assign, final_bc = _make_assign_udf(spark, centroids)
     out = df.withColumn("cell", assign(F.col(vec_col)))
+    out.broadcast_deps = [final_bc]
     return out, centroids
 
 

@@ -267,6 +267,18 @@ def test_ivf_real_sizes(spark):
     recall = len({r.vec_id for r in got_ivf} & {r.vec_id for r in got_exact}) / 10
     assert recall >= 0.9, f"IVF recall {recall}"
 
+    # the final assignment broadcast is handed back for lifecycle control:
+    # after materialization, release_cache destroys it (no session-lifetime
+    # pinned centroid matrices)
+    from importpipeline_spark.operators.dedup import release_cache
+
+    assert with_cells.broadcast_deps
+    release_cache(with_cells)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):  # destroyed broadcast is unusable
+        with_cells.broadcast_deps[0].value
+
 
 def test_embedding_neardup(spark):
     rng = np.random.default_rng(9)
