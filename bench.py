@@ -48,13 +48,17 @@ def _sf_of(sf_dir: str) -> float:
         return -1.0
 
 
-def run_build(cores: int, n_docs: int, out_root: str) -> dict:
-    """One full index build (generate → extract → tokenize → postings) at a
+def run_build(cores: int, n_docs: int, out_root: str,
+              mode: str = "full") -> dict:
+    """One index build (generate → extract → tokenize → postings) at a
     given parallelism. Generation cost is excluded by materializing pages
-    first (the build reads parquet, like production reads Iceberg)."""
+    first (the build reads parquet, like production reads Iceberg).
+    ``mode="resumable"`` times the crash-safe per-segment-lineage path
+    instead of the straight-through write_index."""
     from importpipeline_spark.session import get_spark
     from importpipeline_spark.index.pagesgen import write_pages
     from importpipeline_spark.index.store import write_index
+    from importpipeline_spark.index.segments import build_index_resumable
     from importpipeline_spark.index.wand import bm25_topk_wand
 
     spark = get_spark("bench-build", cores=cores, shuffle_partitions=max(64, cores * 2))
@@ -73,7 +77,10 @@ def run_build(cores: int, n_docs: int, out_root: str) -> dict:
     t0 = time.perf_counter()
     # shard count sized for the larger parallelism level so BOTH runs use the
     # identical layout (the cluster-size comparison must hold data constant)
-    pidx = write_index(spark, pages, idx_root, n_shards=64, write_docs=False)
+    if mode == "resumable":
+        pidx = build_index_resumable(spark, pages, idx_root, n_shards=64)
+    else:
+        pidx = write_index(spark, pages, idx_root, n_shards=64, write_docs=False)
     build_sec = time.perf_counter() - t0
     # JIT/codegen warmup — must hit real terms (OOV short-circuits before the
     # cogroup path and warms nothing)
@@ -117,7 +124,8 @@ def _burn(n):
     return s
 
 
-def _measure_pair(n_docs: int, out_root: str, cores_pair, repeats: int):
+def _measure_pair(n_docs: int, out_root: str, cores_pair, repeats: int,
+                  mode: str = "full"):
     """One N-vs-4N pair: interleaved runs, per-level MIN, plus the raw-CPU
     calibration for the same pair."""
     calib = _cpu_calibration(cores_pair)
@@ -126,7 +134,7 @@ def _measure_pair(n_docs: int, out_root: str, cores_pair, repeats: int):
         for cores in cores_pair:
             proc = subprocess.run(
                 [sys.executable, __file__, "--build-only", "--cores", str(cores),
-                 "--docs", str(n_docs), "--out", out_root],
+                 "--docs", str(n_docs), "--out", out_root, "--mode", mode],
                 capture_output=True, text=True, cwd=REPO,
             )
             line = proc.stdout.strip().splitlines()[-1]
@@ -216,6 +224,51 @@ inventory is in PLANS.md.
     print(json.dumps({"metric": "scaling_efficiency", "value": head["eff"],
                       "normalized_by_cpu_ceiling": head["eff_norm"],
                       "unit": "ratio", "pairs": measured}))
+
+
+_RESUMABLE_SECTION = "## Crash-safe (resumable) build scaling"
+
+
+def scaling_resumable(n_docs: int, out_root: str = "/tmp/bench_scaling_res",
+                      pair=(1, 4), repeats: int = 2) -> None:
+    """N-vs-4N scaling of the RESUMABLE build (per-segment lineage, batched
+    encode) — evidence that the crash-safe path a long run must use scales
+    like the straight-through build, not just write_index. Appends (or
+    replaces) a section in BENCH/BASELINE.md, leaving the headline
+    measurement untouched."""
+    os.makedirs(out_root, exist_ok=True)
+    m = _measure_pair(n_docs, out_root, pair, repeats, mode="resumable")
+    r0, r1 = m["results"]
+    section = f"""{_RESUMABLE_SECTION}
+
+Same protocol (interleaved, per-level min, concurrent raw-CPU ceiling), same
+input ({n_docs} docs, 64 shards), but timing `build_index_resumable` — the
+per-segment-lineage crash-safe path (phase A fused+overlapped, phase B =
+batches of 2×parallelism segments per cogroup job):
+
+| pair (N → 4N) | build sec | docs/sec | raw efficiency | raw-CPU ceiling | ceiling-normalized |
+|---|---|---|---|---|---|
+| local[{pair[0]}] → local[{pair[1]}] | {r0['build_sec']} → {r1['build_sec']} | {r0['docs_per_sec']} → {r1['docs_per_sec']} | **{m['eff']:.3f}** | {m['calib']['ceiling']:.3f} | {m['eff_norm']:.3f} |
+
+The crash-safe path scales with cores because every phase is either a
+K-parallel cogroup batch or a concurrently-submitted write; its lineage
+commits are per-batch driver-side renames (O(n_shards) file ops, no Spark
+barrier).
+"""
+    md_path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    existing = ""
+    if os.path.exists(md_path):
+        with open(md_path) as f:
+            existing = f.read()
+        if _RESUMABLE_SECTION in existing:
+            existing = existing.split(_RESUMABLE_SECTION)[0].rstrip() + "\n"
+    with open(md_path, "w") as f:
+        f.write(existing.rstrip() + "\n\n" + section)
+    print(json.dumps({"metric": "resumable_scaling_efficiency",
+                      "value": m["eff"],
+                      "normalized_by_cpu_ceiling": m["eff_norm"],
+                      "unit": "ratio", "pair": list(pair),
+                      "results": m["results"]}))
 
 
 def headline() -> None:
@@ -394,14 +447,19 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--build-only", action="store_true")
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--scaling-resumable", action="store_true")
     ap.add_argument("--cores", type=int, default=8)
     ap.add_argument("--docs", type=int, default=60000)
     ap.add_argument("--out", default="/tmp/bench_scaling")
     ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--mode", default="full", choices=["full", "resumable"])
     args = ap.parse_args()
     if args.build_only:
-        print(json.dumps(run_build(args.cores, args.docs, args.out)))
+        print(json.dumps(run_build(args.cores, args.docs, args.out, args.mode)))
     elif args.scaling:
         scaling(args.docs, args.out, repeats=args.repeats)
+    elif args.scaling_resumable:
+        scaling_resumable(args.docs, out_root="/tmp/bench_scaling_res",
+                          repeats=args.repeats)
     else:
         headline()

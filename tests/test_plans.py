@@ -117,3 +117,16 @@ def test_scan_prunes_columns(spark):
     seg = plan[plan.index("ReadSchema"):].splitlines()[0]
     assert "l_orderkey" in seg and "l_quantity" in seg
     assert "l_comment" not in seg and "l_shipdate" not in seg
+
+
+def test_ngram_cap_clean_plan_untouched(spark):
+    """PLANS.md §9: the eager hot-shingle detection must leave the candidate
+    plan UNTOUCHED when nothing is hot — no size aggregation, no semi/anti
+    join beyond the one inverted-index self-join."""
+    from importpipeline_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    got = ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.5)
+    assert got.cap_reports[0].dropped_buckets == 0
+    plan = plan_of(got)
+    assert "LeftSemi" not in plan and "LeftAnti" not in plan, plan
