@@ -637,6 +637,27 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_bm25_topk_docs(spark, "/root/testdata/sf0.001")
 
 
+def q_repetition_signals(spark, sf_dir):
+    """Gopher-style per-doc repetition metrics (pretraining quality filters):
+    duplicate-word/line fractions + the character mass of the most repeated
+    2-/3-gram. One shared explode, two exchanges, no windows."""
+    from importpipeline_spark.operators.pretrain import repetition_signals
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return repetition_signals(docs, "text", "doc_id")
+
+
+def q_contamination_screen(spark, sf_dir):
+    """Benchmark decontamination: flag documents sharing any word 3-gram with
+    a 'benchmark' table (deterministic subset: doc_id % 97 == 0). Equi-join
+    on the shingle key; the tiny benchmark side broadcasts."""
+    from importpipeline_spark.operators.pretrain import contamination_hits
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    return contamination_hits(docs, bench, "text", "doc_id", n=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "mapreduce_undup_agg": q_mapreduce_undup_agg,
@@ -671,6 +692,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "boilerplate_ngrams": q_boilerplate_ngrams,
         "multimodal_meta": q_multimodal_meta,
+        "repetition_signals": q_repetition_signals,
+        "contamination_screen": q_contamination_screen,
     }
 
 
@@ -1029,5 +1052,91 @@ def oracle_sql() -> dict[str, str]:
             SELECT ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
                    doc_id, ROUND(score, 4) AS score
             FROM scored ORDER BY score DESC, doc_id ASC LIMIT {BM25_K}
+        """,
+        "repetition_signals": """
+            WITH t AS (
+                SELECT doc_id, text,
+                       CASE WHEN trim(text) = '' THEN []
+                            ELSE regexp_split_to_array(trim(text), '\\s+')
+                       END AS ts,
+                       CAST(length(text) AS BIGINT) AS n_chars
+                FROM documents
+            ),
+            words AS (SELECT doc_id, unnest(ts) AS u FROM t),
+            wc AS (SELECT doc_id, u, COUNT(*) AS c FROM words GROUP BY 1, 2),
+            wagg AS (
+                SELECT doc_id,
+                       SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_words
+                FROM wc GROUP BY 1
+            ),
+            lns AS (
+                SELECT doc_id, unnest(list_filter(
+                    string_split(text, chr(10)), x -> trim(x) != '')) AS u
+                FROM t
+            ),
+            lc AS (SELECT doc_id, u, COUNT(*) AS c FROM lns GROUP BY 1, 2),
+            lagg AS (
+                SELECT doc_id,
+                       SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_lines,
+                       SUM(c) AS n_lines
+                FROM lc GROUP BY 1
+            ),
+            g2 AS (
+                SELECT doc_id, array_to_string(ts[i:i+1], ' ') AS g
+                FROM t, UNNEST(generate_series(1, len(ts) - 1)) AS s(i)
+            ),
+            g2c AS (SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY 1, 2),
+            g2a AS (SELECT doc_id, MAX(c * length(g)) AS top2 FROM g2c GROUP BY 1),
+            g3 AS (
+                SELECT doc_id, array_to_string(ts[i:i+2], ' ') AS g
+                FROM t, UNNEST(generate_series(1, len(ts) - 2)) AS s(i)
+            ),
+            g3c AS (SELECT doc_id, g, COUNT(*) AS c FROM g3 GROUP BY 1, 2),
+            g3a AS (SELECT doc_id, MAX(c * length(g)) AS top3 FROM g3c GROUP BY 1)
+            SELECT t.doc_id,
+                   CAST(len(t.ts) AS BIGINT) AS n_words,
+                   t.n_chars,
+                   ROUND(CASE WHEN len(t.ts) > 0 THEN
+                       CAST(COALESCE(wagg.dup_words, 0) AS DOUBLE) / len(t.ts)
+                       ELSE 0 END, 4) AS dup_word_frac,
+                   ROUND(CASE WHEN COALESCE(lagg.n_lines, 0) > 0 THEN
+                       CAST(COALESCE(lagg.dup_lines, 0) AS DOUBLE) / lagg.n_lines
+                       ELSE 0 END, 4) AS dup_line_frac,
+                   ROUND(CASE WHEN t.n_chars > 0 THEN
+                       CAST(COALESCE(g2a.top2, 0) AS DOUBLE) / t.n_chars
+                       ELSE 0 END, 4) AS top_2gram_char_frac,
+                   ROUND(CASE WHEN t.n_chars > 0 THEN
+                       CAST(COALESCE(g3a.top3, 0) AS DOUBLE) / t.n_chars
+                       ELSE 0 END, 4) AS top_3gram_char_frac
+            FROM t
+            LEFT JOIN wagg ON t.doc_id = wagg.doc_id
+            LEFT JOIN lagg ON t.doc_id = lagg.doc_id
+            LEFT JOIN g2a ON t.doc_id = g2a.doc_id
+            LEFT JOIN g3a ON t.doc_id = g3a.doc_id
+        """,
+        "contamination_screen": """
+            WITH bsh AS (
+                SELECT DISTINCT array_to_string(ts[i:i+2], ' ') AS s
+                FROM (SELECT regexp_split_to_array(trim(text), '\\s+') AS ts
+                      FROM documents WHERE doc_id % 97 = 0) b,
+                     UNNEST(generate_series(1, len(ts) - 2)) AS t(i)
+            ),
+            dsh AS (
+                SELECT doc_id, unnest(list_distinct(list_transform(
+                    generate_series(1, len(regexp_split_to_array(trim(text), '\\s+')) - 2),
+                    i -> array_to_string(
+                        regexp_split_to_array(trim(text), '\\s+')[i:i+2], ' ')
+                ))) AS s
+                FROM documents
+                WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 3
+            ),
+            hits AS (
+                SELECT doc_id, COUNT(*) AS n_hits
+                FROM dsh JOIN bsh USING (s) GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+                   COALESCE(h.n_hits, 0) > 0 AS contaminated
+            FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
         """,
     }

@@ -1,0 +1,174 @@
+"""Pretraining-corpus filters: repetition signals + benchmark decontamination.
+
+Two ops every LLM training-data pipeline runs over its web corpus, expressed
+Spark-first (extending SURVEY.md's training-data suite alongside
+operators/dedup.py and text/analysis.py):
+
+- ``repetition_signals``: per-document repetition metrics in the style of
+  the Gopher quality rules (Rae et al. 2021, publicly described) — documents
+  dominated by repeated lines/words/n-grams are template or degenerate text.
+- ``contamination_hits``: flag documents sharing word n-grams with a
+  benchmark/eval table (the standard n-gram-overlap decontamination pass).
+
+Both are shuffle-conscious: repetition is ONE exchange keyed by
+(doc_id, unit) with map-side partial aggregation (a head unit combines
+before the shuffle); contamination is an equi-join on the shingle key whose
+benchmark side is tiny by nature (AQE broadcasts it), never a cross join.
+
+Tokenization matches the DuckDB oracles exactly: split on ``\\s+`` after
+trim; n-grams joined with single spaces (same as dedup.word_shingles, but
+NON-distinct — repetition is about multiplicity).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .dedup import word_shingles
+
+
+def _toks(text_col):
+    t = F.trim(text_col)
+    return F.when(t == "", F.array()).otherwise(F.split(t, r"\s+"))
+
+
+def _grams_all(toks, n: int):
+    """All word n-grams (with multiplicity, unlike word_shingles)."""
+    k = F.size(toks) - (n - 1)
+    return F.when(
+        k > 0,
+        F.transform(
+            F.sequence(F.lit(0), k - 1),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        ),
+    ).otherwise(F.array())
+
+
+def repetition_signals(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document repetition metrics → (id, n_words, n_chars,
+    dup_word_frac, dup_line_frac, top_2gram_char_frac, top_3gram_char_frac).
+
+    - ``dup_word_frac``: fraction of word occurrences whose word appears
+      more than once in the document (Σ count over words with count>1 ÷
+      total words).
+    - ``dup_line_frac``: same over ``\\n``-separated lines.
+    - ``top_{2,3}gram_char_frac``: MAX over n-grams of
+      (occurrences × gram character length) ÷ document character length —
+      the character mass the single most repetitive n-gram could cover. The
+      max-of-product formulation needs no tie-break (ties in count with
+      different gram lengths give different products), so results are
+      deterministic and oracle-hashable.
+
+    Plan shape: every unit kind (word / line / 2-gram / 3-gram) goes through
+    ONE shared explode → groupBy(doc_id, kind, unit) with partial
+    aggregation, then one groupBy(doc_id) — two exchanges total, no windows,
+    no per-doc quadratic array ops (a 10k-line doc costs O(units), not
+    O(units²) like an array-filter-in-array formulation would).
+    """
+    toks = _toks(F.col(text_col))
+    lines = F.filter(
+        F.split(F.col(text_col), r"\n"), lambda x: F.trim(x) != ""
+    )
+    units = df.select(
+        F.col(id_col).alias("id"),
+        F.length(text_col).alias("n_chars"),
+        F.size(toks).alias("n_words"),
+        F.size(lines).alias("n_lines"),
+        # explode_outer: a document with no units at all (empty text) must
+        # still emit its zero-valued signals row
+        F.explode_outer(
+            F.concat(
+                F.transform(toks, lambda w: F.struct(
+                    F.lit("w").alias("kind"), w.alias("unit"))),
+                F.transform(lines, lambda l: F.struct(
+                    F.lit("l").alias("kind"), l.alias("unit"))),
+                F.transform(_grams_all(toks, 2), lambda g: F.struct(
+                    F.lit("g2").alias("kind"), g.alias("unit"))),
+                F.transform(_grams_all(toks, 3), lambda g: F.struct(
+                    F.lit("g3").alias("kind"), g.alias("unit"))),
+            )
+        ).alias("u"),
+    )
+    counts = units.groupBy(
+        "id", "n_chars", "n_words", "n_lines",
+        F.col("u.kind").alias("kind"), F.col("u.unit").alias("unit"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    per_doc = counts.groupBy("id", "n_chars", "n_words", "n_lines").agg(
+        F.sum(F.when((F.col("kind") == "w") & (F.col("cnt") > 1), F.col("cnt"))
+              .otherwise(0)).alias("dup_words"),
+        F.sum(F.when((F.col("kind") == "l") & (F.col("cnt") > 1), F.col("cnt"))
+              .otherwise(0)).alias("dup_lines"),
+        F.max(F.when(F.col("kind") == "g2",
+                     F.col("cnt") * F.length("unit")).otherwise(0)
+              ).alias("top2_chars"),
+        F.max(F.when(F.col("kind") == "g3",
+                     F.col("cnt") * F.length("unit")).otherwise(0)
+              ).alias("top3_chars"),
+    )
+    z = F.lit(0.0)
+    return per_doc.select(
+        F.col("id").alias(id_col),
+        F.col("n_words").cast("long").alias("n_words"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.round(
+            F.when(F.col("n_words") > 0,
+                   F.col("dup_words").cast("double") / F.col("n_words"))
+            .otherwise(z), 4).alias("dup_word_frac"),
+        F.round(
+            F.when(F.col("n_lines") > 0,
+                   F.col("dup_lines").cast("double") / F.col("n_lines"))
+            .otherwise(z), 4).alias("dup_line_frac"),
+        F.round(
+            F.when(F.col("n_chars") > 0,
+                   F.col("top2_chars").cast("double") / F.col("n_chars"))
+            .otherwise(z), 4).alias("top_2gram_char_frac"),
+        F.round(
+            F.when(F.col("n_chars") > 0,
+                   F.col("top3_chars").cast("double") / F.col("n_chars"))
+            .otherwise(z), 4).alias("top_3gram_char_frac"),
+    )
+
+
+def contamination_hits(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination screen: for every document, how many of its
+    DISTINCT word n-grams also appear in the benchmark table → (id, n_hits,
+    contaminated). Documents with n_hits > 0 are the candidates a training
+    pipeline drops or audits before training.
+
+    Scale shape: both sides reduce to distinct shingles (per-doc distinct on
+    the corpus side — word_shingles — and a global distinct on the benchmark
+    side, which is tiny by nature: eval sets are thousands of rows, not
+    billions), then ONE equi-join on the shingle key that AQE broadcasts,
+    a partial-agg count per doc, and a left join back to keep zero-hit docs.
+    Never a cross join; no collect of corpus data.
+    """
+    d_sh = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("s"),
+    )
+    b_sh = (
+        benchmark.select(F.explode(word_shingles(F.col(text_col), n)).alias("s"))
+        .distinct()
+    )
+    hits = d_sh.join(b_sh, "s").groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    return (
+        docs.select(F.col(id_col).alias("id"))
+        .join(hits, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

@@ -1,0 +1,87 @@
+"""Pretraining filters (operators/pretrain.py): hand-computed repetition
+signals on crafted docs (multi-line, degenerate, empty) + contamination
+screen edges. The exact SQL oracles at sf0.01/sf0.001 cover the bulk path;
+these pin the corner semantics."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from importpipeline_spark.operators.pretrain import (
+    contamination_hits,
+    repetition_signals,
+)
+
+
+@pytest.fixture(scope="module")
+def crafted(spark):
+    rows = [
+        (1, "a a a b"),          # word dups + repeated 2-gram
+        (2, "x y z"),            # all-distinct
+        (3, "l1\nl2\nl1\n\n"),   # duplicate lines; empty lines filtered
+        (4, ""),                 # empty doc
+        (5, "solo"),             # too short for any n-gram
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_repetition_signals_hand_computed(crafted):
+    got = {r.doc_id: r for r in repetition_signals(crafted).collect()}
+    assert set(got) == {1, 2, 3, 4, 5}
+
+    r1 = got[1]  # "a a a b": words a,a,a,b; 2-grams "a a"×2,"a b"; chars 7
+    assert (r1.n_words, r1.n_chars) == (4, 7)
+    assert r1.dup_word_frac == round(3 / 4, 4)
+    assert r1.dup_line_frac == 0.0  # one line, not duplicated
+    assert r1.top_2gram_char_frac == round(2 * 3 / 7, 4)   # "a a" twice
+    assert r1.top_3gram_char_frac == round(1 * 5 / 7, 4)
+
+    r2 = got[2]  # "x y z": nothing repeats; top grams still have mass
+    assert r2.dup_word_frac == 0.0
+    assert r2.top_2gram_char_frac == round(3 / 5, 4)
+    assert r2.top_3gram_char_frac == 1.0  # the whole doc is one 3-gram
+
+    # doc 3: trim strips only SPACES (codebase-wide tokenization convention,
+    # matching the DuckDB oracles), so the trailing "\n\n" leaves one empty
+    # trailing token: [l1, l2, l1, ""] — 4 words, l1 duplicated
+    r3 = got[3]
+    assert (r3.n_words, r3.n_chars) == (4, 10)
+    assert r3.dup_line_frac == round(2 / 3, 4)  # empty lines filtered
+    assert r3.dup_word_frac == round(2 / 4, 4)
+    assert r3.top_2gram_char_frac == round(5 / 10, 4)  # "l1 l2" / "l2 l1"
+    assert r3.top_3gram_char_frac == round(8 / 10, 4)  # "l1 l2 l1"
+
+    r4 = got[4]  # empty: everything zero, nothing NULL
+    assert (r4.n_words, r4.n_chars) == (0, 0)
+    assert (r4.dup_word_frac, r4.dup_line_frac) == (0.0, 0.0)
+    assert (r4.top_2gram_char_frac, r4.top_3gram_char_frac) == (0.0, 0.0)
+
+    r5 = got[5]  # single word: no n-grams to repeat
+    assert (r5.n_words, r5.dup_word_frac) == (1, 0.0)
+    assert (r5.top_2gram_char_frac, r5.top_3gram_char_frac) == (0.0, 0.0)
+
+
+def test_contamination_screen_edges(crafted):
+    bench = crafted.where(F.col("doc_id") == 1).select("doc_id", "text")
+    got = {r.doc_id: r for r in
+           contamination_hits(crafted, bench, "text", "doc_id", n=3).collect()}
+    # every doc appears exactly once, even zero-hit and empty ones
+    assert set(got) == {1, 2, 3, 4, 5}
+    # doc 1 shares both of its distinct 3-grams with the benchmark (itself)
+    assert got[1].n_hits == 2 and got[1].contaminated
+    for d in (2, 3, 4, 5):
+        assert got[d].n_hits == 0 and not got[d].contaminated
+
+
+def test_contamination_partial_overlap(spark):
+    docs = spark.createDataFrame(
+        [(1, "p q r s t"), (2, "u v w")], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame(
+        [(100, "q r s zzz")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in
+           contamination_hits(docs, bench, n=3).collect()}
+    # doc 1's distinct 3-grams: "p q r","q r s","r s t" — only "q r s" is in
+    # the benchmark's {"q r s","r s zzz"}
+    assert got[1].n_hits == 1 and got[1].contaminated
+    assert got[2].n_hits == 0 and not got[2].contaminated
