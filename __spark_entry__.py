@@ -326,11 +326,14 @@ def q_dedup_exact(spark, sf_dir):
 
 
 def q_ngram_jaccard(spark, sf_dir):
-    """n-gram Jaccard near-dup pairs (exact, inverted-index join)."""
+    """n-gram Jaccard near-dup pairs (exact, inverted-index join). The
+    hot-shingle cap is explicitly OFF: this query's contract is the exact
+    SQL oracle at any scale, so it must never trade recall for skew safety
+    (production callers keep the capped default)."""
     base = _docs_with_dups(spark, sf_dir)
-    return ngram_jaccard_pairs(base, "text", "doc_id", n=3, threshold=0.5).select(
-        "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
-    )
+    return ngram_jaccard_pairs(
+        base, "text", "doc_id", n=3, threshold=0.5, max_shingle_df=None
+    ).select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
 
 def q_cosine_topk(spark, sf_dir):
@@ -1055,11 +1058,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "repetition_signals": """
             WITH t AS (
-                SELECT doc_id, text,
-                       CASE WHEN trim(text) = '' THEN []
-                            ELSE regexp_split_to_array(trim(text), '\\s+')
+                SELECT doc_id, COALESCE(text, '') AS text,
+                       CASE WHEN trim(COALESCE(text, '')) = '' THEN []
+                            ELSE regexp_split_to_array(
+                                trim(COALESCE(text, '')), '\\s+')
                        END AS ts,
-                       CAST(length(text) AS BIGINT) AS n_chars
+                       CAST(length(COALESCE(text, '')) AS BIGINT) AS n_chars
                 FROM documents
             ),
             words AS (SELECT doc_id, unnest(ts) AS u FROM t),

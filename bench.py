@@ -261,7 +261,12 @@ barrier).
         with open(md_path) as f:
             existing = f.read()
         if _RESUMABLE_SECTION in existing:
-            existing = existing.split(_RESUMABLE_SECTION)[0].rstrip() + "\n"
+            # replace ONLY the stale section: it ends at the next heading
+            # (anything appended after it must survive the rewrite)
+            head, rest = existing.split(_RESUMABLE_SECTION, 1)
+            nxt = rest.find("\n## ")
+            tail = rest[nxt + 1:] if nxt != -1 else ""
+            existing = head.rstrip() + ("\n\n" + tail if tail else "\n")
     with open(md_path, "w") as f:
         f.write(existing.rstrip() + "\n\n" + section)
     print(json.dumps({"metric": "resumable_scaling_efficiency",

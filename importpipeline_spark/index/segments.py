@@ -220,52 +220,6 @@ def build_index_resumable(
         with open(stats_path) as f:
             stats = json.load(f)
 
-    # phase B: per-segment postings (segment == doc-range shard); only
-    # segments recorded ok FOR THIS INPUT SNAPSHOT count as finished
-    done = _finished_segments(root, input_snapshot)
-    if docs is not None:
-        # fresh run: phase A's fused pass is still cached — tf is a plain
-        # JVM explode of its tf_pairs (no second Python pass over the corpus)
-        tf = docs.select(
-            "doc_id", F.explode("tf_pairs").alias("p")
-        ).select("doc_id", F.col("p.term").alias("term"), F.col("p.tf").alias("tf"))
-        dl_src = docs
-    else:
-        # resume: tf is recomputed from the persisted docs' text (docs
-        # parquet stores text, not tokens, to stay lean; only the missing
-        # segments' shards are actually encoded below)
-        from ..text.tokenizer import tokenize_udf
-
-        docs_df = spark.read.parquet(docs_path)
-        docs_tok = docs_df.withColumn("tokens", tokenize_udf(F.col("text")))
-        tf = build_tf(docs_tok)
-        dl_src = docs_df
-    tf = tf.withColumn("shard", shard_of(F.col("doc_id"), n_shards))
-    dl = dl_src.select(F.col("doc_id").alias("dl_doc_id"), "doc_len").withColumn(
-        "shard", shard_of(F.col("dl_doc_id"), n_shards)
-    )
-
-    todo = [s for s in range(n_shards) if s not in done]
-    if batch_size is None:
-        # two task waves per batch job: keeps every core busy with straggler
-        # absorption while halving the number of commit barriers vs one wave
-        batch_size = max(1, 2 * spark.sparkContext.defaultParallelism)
-    # on RESUME, tf goes through a Python tokenize pass — cache it across
-    # batches. (Fresh runs explode the already-cached fused tf_pairs JVM-side,
-    # which is cheaper per batch than materializing the exploded relation.)
-    tf_cached = None
-    if docs is None and len(todo) > batch_size:
-        tf = tf.persist()
-        tf_cached = tf
-    # per-shard doc counts for ALL remaining segments in one job (they feed
-    # lineage rows only, so computing them up front is crash-equivalent)
-    ndocs = {}
-    if todo:
-        ndocs = {
-            int(r.shard): int(r["count"])
-            for r in dl.where(F.col("shard").isin(todo))
-            .groupBy("shard").count().collect()
-        }
     batch_tmp = os.path.join(root, "postings_batch_tmp")
 
     def _finalize_phase_a(block: bool) -> dict | None:
@@ -301,8 +255,62 @@ def build_index_resumable(
         _write_stats_atomic(root, s)
         return s
 
+    # EVERYTHING phase-B — including its setup Spark jobs (docs re-read on
+    # resume, the per-shard doc-count job) — runs inside one guard: any exit,
+    # success or failure, first joins the concurrent phase-A futures (a
+    # caller that immediately resumes must not race still-running background
+    # writes) and releases the caches.
+    tf_cached = None
     pos = 0
     try:
+        # phase B: per-segment postings (segment == doc-range shard); only
+        # segments recorded ok FOR THIS INPUT SNAPSHOT count as finished
+        done = _finished_segments(root, input_snapshot)
+        if docs is not None:
+            # fresh run: phase A's fused pass is still cached — tf is a
+            # plain JVM explode of its tf_pairs (no second Python pass)
+            tf = docs.select(
+                "doc_id", F.explode("tf_pairs").alias("p")
+            ).select(
+                "doc_id", F.col("p.term").alias("term"), F.col("p.tf").alias("tf")
+            )
+            dl_src = docs
+        else:
+            # resume: tf is recomputed from the persisted docs' text (docs
+            # parquet stores text, not tokens, to stay lean; only the
+            # missing segments' shards are actually encoded below)
+            from ..text.tokenizer import tokenize_udf
+
+            docs_df = spark.read.parquet(docs_path)
+            docs_tok = docs_df.withColumn("tokens", tokenize_udf(F.col("text")))
+            tf = build_tf(docs_tok)
+            dl_src = docs_df
+        tf = tf.withColumn("shard", shard_of(F.col("doc_id"), n_shards))
+        dl = dl_src.select(
+            F.col("doc_id").alias("dl_doc_id"), "doc_len"
+        ).withColumn("shard", shard_of(F.col("dl_doc_id"), n_shards))
+
+        todo = [s for s in range(n_shards) if s not in done]
+        if batch_size is None:
+            # two task waves per batch job: keeps every core busy with
+            # straggler absorption while halving the commit barriers
+            batch_size = max(1, 2 * spark.sparkContext.defaultParallelism)
+        # on RESUME, tf goes through a Python tokenize pass — cache it
+        # across batches. (Fresh runs explode the already-cached fused
+        # tf_pairs JVM-side, cheaper per batch than materializing the
+        # exploded relation.)
+        if docs is None and len(todo) > batch_size:
+            tf = tf.persist()
+            tf_cached = tf
+        # per-shard doc counts for ALL remaining segments in one job (they
+        # feed lineage rows only, so up-front is crash-equivalent)
+        ndocs = {}
+        if todo:
+            ndocs = {
+                int(r.shard): int(r["count"])
+                for r in dl.where(F.col("shard").isin(todo))
+                .groupBy("shard").count().collect()
+            }
         for start in range(0, len(todo), batch_size):
             batch = todo[start:start + batch_size]
             started = datetime.now(timezone.utc).isoformat()
@@ -378,8 +386,9 @@ def build_index_resumable(
     finally:
         # join the concurrent phase-A jobs BEFORE leaving (even on the
         # crash path: a caller that immediately resumes must not race
-        # still-running background writes)
-        if stats is None:
+        # still-running background writes), then release the caches —
+        # crash/resume cycles must not accumulate pinned corpus copies
+        if stats is None and phase_a_futures is not None:
             if sys.exc_info()[1] is not None:
                 # an exception is in flight: join quietly so it propagates
                 # unmasked; stats.json stays unwritten → phase A reruns
@@ -391,23 +400,39 @@ def build_index_resumable(
                 pool.shutdown()
             else:
                 stats = _finalize_phase_a(block=True)
-    if tf_cached is not None:
-        tf_cached.unpersist()
-    if docs_cached is not None:
-        docs_cached.unpersist()
+        if tf_cached is not None:
+            tf_cached.unpersist()
+        if docs_cached is not None:
+            docs_cached.unpersist()
 
     # dictionary derived from the completed posting segments — idempotent,
     # so a resumed run just re-derives it (single impl: store.py)
-    from .store import write_terms_dictionary
-
-    write_terms_dictionary(
-        spark.read.option("basePath", os.path.join(root, "postings"))
-        .parquet(os.path.join(root, "postings")),
-        os.path.join(root, "terms"),
-        dict_files,
-    )
+    _derive_dictionary(spark, root, dict_files)
 
     return PhysicalIndex(root=root, stats=stats)
+
+
+def _derive_dictionary(spark: SparkSession, root: str, dict_files: int = 4,
+                       out_path: str | None = None) -> None:
+    """Dictionary from the on-disk posting segments. An index whose every
+    document quarantined (or was deleted) has posting dirs with no parquet
+    footers at all — schema inference fails, but the correct dictionary is
+    simply empty, so write one with the right schema instead of failing a
+    build that already committed its lineage."""
+    from .store import write_terms_dictionary
+
+    p = os.path.join(root, "postings")
+    target = out_path or os.path.join(root, "terms")
+    try:
+        postings = spark.read.option("basePath", p).parquet(p)
+    except Exception:
+        (
+            spark.createDataFrame(
+                [], "term string, df long, shards array<int>"
+            ).write.mode("overwrite").parquet(target)
+        )
+        return
+    write_terms_dictionary(postings, target, dict_files)
 
 
 # ---- incremental import (ExistState semantics) ----
@@ -510,15 +535,9 @@ def _refresh_stats_terms(spark, root: str, run_id: str, input_snapshot: str) -> 
         input_snapshot=input_snapshot,
         n_errors=_count_error_urls(spark, root),
     )
-    from .store import write_terms_dictionary
-
     terms_tmp = os.path.join(root, "terms.tmp")
     shutil.rmtree(terms_tmp, ignore_errors=True)
-    write_terms_dictionary(
-        spark.read.option("basePath", os.path.join(root, "postings"))
-        .parquet(os.path.join(root, "postings")),
-        terms_tmp,
-    )
+    _derive_dictionary(spark, root, out_path=terms_tmp)
     terms_path = os.path.join(root, "terms")
     shutil.rmtree(terms_path, ignore_errors=True)
     os.rename(terms_tmp, terms_path)

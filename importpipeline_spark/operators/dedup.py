@@ -191,6 +191,13 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("id"), word_shingles(F.col(text_col), n).alias("sh")
     ).withColumn("n_sh", F.size("sh"))
     ex = sh.select("id", "n_sh", F.explode("sh").alias("s"))
+    cached = []
+    if max_shingle_df is not None:
+        # the eager hot-shingle detection plus both self-join sides would
+        # otherwise each recompute the corpus-wide shingling — persist it
+        # (released via release_cache, like the LSH callers' signatures)
+        ex = ex.persist()
+        cached.append(ex)
     ex, cap_report = _cap_buckets(
         ex, ["s"], max_shingle_df, log_dropped, label="shingle"
     )
@@ -215,6 +222,7 @@ def ngram_jaccard_pairs(
         ).alias("jaccard"),
     ).where(F.col("jaccard") >= threshold)
     out.cap_reports = [cap_report]
+    out.cached_deps = cached
     return out
 
 

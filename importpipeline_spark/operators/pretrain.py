@@ -69,13 +69,14 @@ def repetition_signals(
     no per-doc quadratic array ops (a 10k-line doc costs O(units), not
     O(units²) like an array-filter-in-array formulation would).
     """
-    toks = _toks(F.col(text_col))
-    lines = F.filter(
-        F.split(F.col(text_col), r"\n"), lambda x: F.trim(x) != ""
-    )
+    # NULL text (quarantined/unextractable docs) counts as empty — the doc
+    # still gets its zero-valued row, matching the oracle's COALESCE
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    toks = _toks(text)
+    lines = F.filter(F.split(text, r"\n"), lambda x: F.trim(x) != "")
     units = df.select(
         F.col(id_col).alias("id"),
-        F.length(text_col).alias("n_chars"),
+        F.length(text).alias("n_chars"),
         F.size(toks).alias("n_words"),
         F.size(lines).alias("n_lines"),
         # explode_outer: a document with no units at all (empty text) must

@@ -14,9 +14,20 @@ generation/atomic-publish lifecycle.
 from __future__ import annotations
 
 import os
+import shlex
+import string
 from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, functions as F
+
+
+class _QuotingFormatter(string.Formatter):
+    """str.format-compatible formatter that shell-quotes each substituted
+    field AFTER its format spec is applied — ``{0:d}`` still formats the
+    original int, and only the rendered text is quoted."""
+
+    def format_field(self, value, format_spec):
+        return shlex.quote(format(value, format_spec))
 
 
 def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
@@ -91,12 +102,16 @@ def write_command(
     exec gets the reference's 10s default timeout (CommandEndpoint.cs:175).
 
     Injection safety: exec interpolates FIELD VALUES into a shell line, so
-    by default every parameter is shlex-quoted before substitution
-    (``quote_args=True``) — a crawled column containing ``; rm -rf`` lands
-    as an inert literal argument. The reference formats raw values into a
-    ``cmd /c`` line (CommandEndpoint.cs:124-141); that behavior is available
-    as the explicit opt-in ``quote_args=False`` for templates that embed a
-    value inside an already-quoted context — only use it over
+    by default every substituted field is shell-quoted AFTER its format
+    spec renders (``quote_args=True``) — a crawled column containing
+    ``; rm -rf`` lands as an inert literal argument, and ``{0:d}`` style
+    specs keep working on the original typed value. Templates must NOT
+    pre-quote their placeholders in this mode (write ``grep {0} log``, not
+    ``grep "{0}" log`` — the quoting is added for you). The reference
+    formats raw values into a ``cmd /c`` line
+    (CommandEndpoint.cs:124-141); that behavior is available as the
+    explicit opt-in ``quote_args=False`` for templates that embed a value
+    inside an already-quoted context — only use it over
     trusted/validated columns.
 
     Retry caveat: a failed/speculative Spark task RE-RUNS its whole
@@ -136,13 +151,10 @@ def write_command(
             parms = ["" if v is None else v for v in row]
             try:
                 if op == "exec":
-                    import shlex as _shlex
-
-                    exec_parms = (
-                        [_shlex.quote(str(p)) for p in parms]
-                        if quote_args else parms
-                    )
-                    actual = cmd.format(*exec_parms)
+                    if quote_args:
+                        actual = _QuotingFormatter().vformat(cmd, parms, {})
+                    else:
+                        actual = cmd.format(*parms)
                     proc = _sp.run(
                         actual, shell=True, cwd=working_dir,
                         capture_output=True, timeout=timeout_s,

@@ -40,7 +40,10 @@ def corpus(spark):
 
 
 def _exact_jaccard_pairs(df, threshold):
-    got = ngram_jaccard_pairs(df, "text", "doc_id", n=3, threshold=threshold)
+    # the EXACT reference set: cap explicitly off
+    got = ngram_jaccard_pairs(
+        df, "text", "doc_id", n=3, threshold=threshold, max_shingle_df=None
+    )
     return {(r.id_a, r.id_b): r.jaccard for r in got.collect()}
 
 

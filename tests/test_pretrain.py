@@ -20,13 +20,14 @@ def crafted(spark):
         (3, "l1\nl2\nl1\n\n"),   # duplicate lines; empty lines filtered
         (4, ""),                 # empty doc
         (5, "solo"),             # too short for any n-gram
+        (6, None),               # NULL text (unextractable doc)
     ]
     return spark.createDataFrame(rows, "doc_id long, text string")
 
 
 def test_repetition_signals_hand_computed(crafted):
     got = {r.doc_id: r for r in repetition_signals(crafted).collect()}
-    assert set(got) == {1, 2, 3, 4, 5}
+    assert set(got) == {1, 2, 3, 4, 5, 6}
 
     r1 = got[1]  # "a a a b": words a,a,a,b; 2-grams "a a"×2,"a b"; chars 7
     assert (r1.n_words, r1.n_chars) == (4, 7)
@@ -59,16 +60,21 @@ def test_repetition_signals_hand_computed(crafted):
     assert (r5.n_words, r5.dup_word_frac) == (1, 0.0)
     assert (r5.top_2gram_char_frac, r5.top_3gram_char_frac) == (0.0, 0.0)
 
+    r6 = got[6]  # NULL text behaves exactly like an empty doc
+    assert (r6.n_words, r6.n_chars) == (0, 0)
+    assert (r6.dup_word_frac, r6.dup_line_frac) == (0.0, 0.0)
+    assert (r6.top_2gram_char_frac, r6.top_3gram_char_frac) == (0.0, 0.0)
+
 
 def test_contamination_screen_edges(crafted):
     bench = crafted.where(F.col("doc_id") == 1).select("doc_id", "text")
     got = {r.doc_id: r for r in
            contamination_hits(crafted, bench, "text", "doc_id", n=3).collect()}
-    # every doc appears exactly once, even zero-hit and empty ones
-    assert set(got) == {1, 2, 3, 4, 5}
+    # every doc appears exactly once, even zero-hit / empty / NULL ones
+    assert set(got) == {1, 2, 3, 4, 5, 6}
     # doc 1 shares both of its distinct 3-grams with the benchmark (itself)
     assert got[1].n_hits == 2 and got[1].contaminated
-    for d in (2, 3, 4, 5):
+    for d in (2, 3, 4, 5, 6):
         assert got[d].n_hits == 0 and not got[d].contaminated
 
 

@@ -116,3 +116,25 @@ def test_exist_state_classification(spark):
     }
     inc = {r.url for r in incremental_pages(new, old).collect()}
     assert inc == {"u1", "u4"}
+
+
+def test_all_quarantined_build_completes_empty(spark, tmp_path):
+    """Every page failing extraction must still produce a COMPLETE (empty)
+    index: all segments lineage-committed, an empty-but-schema'd dictionary
+    (no parquet footers exist anywhere under postings/), and queries that
+    return no results instead of raising."""
+    from pyspark.sql import functions as F
+
+    deep = ("<html><body>" + "<div>" * 30000 + "x" + "</div>" * 30000
+            + "</body></html>")
+    pages = spark.createDataFrame(
+        [(f"u{i}", deep.encode()) for i in range(4)], "url string, html binary"
+    ).withColumn("warc_ts", F.current_timestamp()).withColumn(
+        "lang", F.lit("en")
+    )
+    root = str(tmp_path / "emptyidx")
+    pidx = build_index_resumable(spark, pages, root, n_shards=4)
+    assert pidx.stats["n_docs"] == 0
+    assert pidx.stats["n_errors"] == 4
+    assert read_lineage(spark, root).count() == 4
+    assert bm25_topk_wand(spark, pidx, "the", k=5).collect() == []
