@@ -661,6 +661,20 @@ def q_contamination_screen(spark, sf_dir):
     return contamination_hits(docs, bench, "text", "doc_id", n=3)
 
 
+def q_corpus_sample(spark, sf_dir):
+    """Deterministic stratified corpus sampling (training-mix construction):
+    hash-threshold keep decisions, reproducible under retries and across
+    cluster sizes — never sampleBy's partitioning-dependent RNG. The hash is
+    exact 64-bit integer arithmetic, so the DuckDB oracle reproduces the
+    selection bit-for-bit."""
+    from importpipeline_spark.operators.pretrain import corpus_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return corpus_sample(
+        docs, {"en": 0.5, "de": 0.25, "fr": 0.125}, "lang", "doc_id", seed=1
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "mapreduce_undup_agg": q_mapreduce_undup_agg,
@@ -697,6 +711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": q_multimodal_meta,
         "repetition_signals": q_repetition_signals,
         "contamination_screen": q_contamination_screen,
+        "corpus_sample": q_corpus_sample,
     }
 
 
@@ -1142,5 +1157,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
                    COALESCE(h.n_hits, 0) > 0 AS contaminated
             FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+        """,
+        "corpus_sample": """
+            SELECT doc_id, lang FROM documents
+            WHERE CAST(((doc_id % 1000000000 + 1) * 2654435761)
+                       % 1000000007 AS DOUBLE) / 1000000007
+                  < CASE lang WHEN 'en' THEN 0.5
+                              WHEN 'de' THEN 0.25
+                              WHEN 'fr' THEN 0.125
+                              ELSE 0.0 END
         """,
     }

@@ -134,6 +134,51 @@ def repetition_signals(
     )
 
 
+# sample_hash constants: multiplicative hashing over exact 64-bit-safe
+# integer arithmetic — (folded_id + seed) × Knuth's constant mod a large
+# prime. max product ≈ 1e9 × 2.65e9 ≈ 2.7e18 < 2^63, so the SAME expression
+# evaluates identically in any engine with 64-bit integers (the DuckDB
+# oracle needs no xxhash builtin). For sequential ids this is a Weyl-style
+# low-discrepancy sequence: realized fractions track targets closely.
+_SAMPLE_RANGE = 1_000_000_000
+_SAMPLE_MOD = 1_000_000_007
+_KNUTH = 2_654_435_761
+
+
+def sample_hash(id_col, seed: int = 1):
+    """Deterministic pseudo-uniform double in [0, 1) from an id column."""
+    folded = F.pmod(id_col.cast("long"), F.lit(_SAMPLE_RANGE))
+    h = F.pmod((folded + F.lit(seed)) * F.lit(_KNUTH), F.lit(_SAMPLE_MOD))
+    return h.cast("double") / F.lit(float(_SAMPLE_MOD))
+
+
+def corpus_sample(
+    df: DataFrame,
+    fractions: dict,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    seed: int = 1,
+) -> DataFrame:
+    """Deterministic stratified corpus sampling (training-mix construction):
+    keep a row iff ``sample_hash(id, seed) < fractions[stratum]``; strata
+    absent from ``fractions`` are dropped.
+
+    Why not ``df.sampleBy``: its Bernoulli draw depends on partitioning and
+    task retries, so a speculative re-execution or a different cluster size
+    yields a DIFFERENT corpus — unacceptable for reproducible training
+    mixes. Hash-threshold sampling is a pure map-side filter (no shuffle, no
+    RNG state): the same (id, seed) always makes the same keep decision, a
+    larger ``seed`` gives an independent re-mix, and nested budgets compose
+    (fractions f1 < f2 give strictly nested samples for the same seed).
+    """
+    keep = None
+    for k, v in fractions.items():
+        cond = F.col(strata_col) == k
+        keep = F.when(cond, float(v)) if keep is None else keep.when(cond, float(v))
+    keep = keep.otherwise(0.0) if keep is not None else F.lit(0.0)
+    return df.where(sample_hash(F.col(id_col), seed) < keep)
+
+
 def contamination_hits(
     docs: DataFrame,
     benchmark: DataFrame,

@@ -91,3 +91,40 @@ def test_contamination_partial_overlap(spark):
     # the benchmark's {"q r s","r s zzz"}
     assert got[1].n_hits == 1 and got[1].contaminated
     assert got[2].n_hits == 0 and not got[2].contaminated
+
+
+def test_corpus_sample_deterministic_and_nested(spark):
+    from importpipeline_spark.operators.pretrain import corpus_sample
+
+    rows = [(i, "en" if i % 3 else "de") for i in range(3000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+
+    frac = {"en": 0.5, "de": 0.25}
+    a = {r.doc_id for r in corpus_sample(df, frac, seed=7).collect()}
+    b = {r.doc_id for r in corpus_sample(df, frac, seed=7).collect()}
+    assert a == b  # same seed → identical corpus, independent of execution
+
+    # realized fractions track targets (low-discrepancy hash over dense ids)
+    n_en = sum(1 for i in a if i % 3)
+    n_de = sum(1 for i in a if not i % 3)
+    assert abs(n_en / 2000 - 0.5) < 0.05
+    assert abs(n_de / 1000 - 0.25) < 0.05
+
+    # shrinking a stratum's budget gives a strictly NESTED sample
+    smaller = {r.doc_id for r in
+               corpus_sample(df, {"en": 0.25, "de": 0.25}, seed=7).collect()}
+    assert smaller <= a
+
+    # different seed → a genuinely different mix
+    c = {r.doc_id for r in corpus_sample(df, frac, seed=8).collect()}
+    assert c != a
+
+    # strata without a budget are dropped entirely
+    only_en = corpus_sample(df, {"en": 0.5}, seed=7)
+    assert only_en.where(F.col("lang") == "de").count() == 0
+
+    # negative ids (xxhash64 doc ids) are handled via pmod, not %
+    neg = spark.createDataFrame(
+        [(-5_000_000_123, "en"), (-1, "en")], "doc_id long, lang string"
+    )
+    assert corpus_sample(neg, {"en": 1.0}, seed=1).count() == 2
