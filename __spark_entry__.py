@@ -661,6 +661,22 @@ def q_contamination_screen(spark, sf_dir):
     return contamination_hits(docs, bench, "text", "doc_id", n=3)
 
 
+def q_neardup_components(spark, sf_dir):
+    """Connected components over the exact near-dup pair set — the KEEP
+    decision's grouping step (a near-dup relation isn't transitive-closed;
+    survivors must be chosen per component, not per pair). Iterative
+    min-label propagation, oracled by a recursive CTE."""
+    from importpipeline_spark.operators.dedup import neardup_components
+
+    base = _docs_with_dups(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(
+        base, "text", "doc_id", n=3, threshold=0.5, max_shingle_df=None
+    )
+    return neardup_components(pairs).select(
+        F.col("id").alias("doc_id"), "component_id"
+    )
+
+
 def q_corpus_sample(spark, sf_dir):
     """Deterministic stratified corpus sampling (training-mix construction):
     hash-threshold keep decisions, reproducible under retries and across
@@ -712,6 +728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_signals": q_repetition_signals,
         "contamination_screen": q_contamination_screen,
         "corpus_sample": q_corpus_sample,
+        "neardup_components": q_neardup_components,
     }
 
 
@@ -1157,6 +1174,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
                    COALESCE(h.n_hits, 0) > 0 AS contaminated
             FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+        """,
+        "neardup_components": f"""
+            WITH RECURSIVE pairs AS (
+                {_NGRAM_JACCARD_SQL}
+            ),
+            e AS (
+                SELECT id_a AS a, id_b AS b FROM pairs
+                UNION
+                SELECT id_b AS a, id_a AS b FROM pairs
+            ),
+            r AS (
+                SELECT a AS id, a AS lab FROM e
+                UNION
+                SELECT e.b AS id, r.lab FROM r JOIN e ON e.a = r.id
+            )
+            SELECT id AS doc_id, MIN(lab) AS component_id FROM r GROUP BY id
         """,
         "corpus_sample": """
             SELECT doc_id, lang FROM documents

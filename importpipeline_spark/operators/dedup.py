@@ -412,6 +412,97 @@ def simhash_pairs(
     return out
 
 
+def neardup_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 50,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """Connected components over near-dup pairs → (id, component_id) with
+    component_id = the smallest member id. This is the step between pair
+    generation (ngram_jaccard/minhash/simhash/embedding_neardup) and the
+    actual KEEP decision: a near-dup relation is rarely transitive-closed,
+    so dropping "the larger id of each pair" both over- and under-deletes —
+    the canonical survivor must be chosen per component.
+
+    Algorithm: min-label propagation (the standard large-graph CC shape —
+    e.g. Kiveris et al.'s hash-to-min family): every node starts labeled
+    with itself; each round takes the min of its own and its neighbors'
+    labels; fixpoint after ≤ diameter rounds (near-dup components are
+    shallow — mostly pairs/stars — so a handful of rounds suffices at any
+    corpus size). Each round is one join + one partial-agg groupBy on the
+    node key; lineage is truncated with localCheckpoint every
+    ``checkpoint_every`` rounds so plan depth stays bounded. The per-round
+    fixpoint check is a count on the frame the next round needs anyway
+    (same driver-loop shape as the IVF Lloyd rounds). Raises if max_iter
+    rounds don't converge (pathological chain longer than max_iter).
+    """
+    edges = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    edges = edges.unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct().persist()
+    labels = (
+        edges.select(F.col("a").alias("id")).distinct()
+        .withColumn("label", F.col("id"))
+        .persist()
+    )
+    for it in range(max_iter):
+        nb_min = (
+            edges.join(labels, edges["a"] == labels["id"])
+            .groupBy(F.col("b").alias("nid"))
+            .agg(F.min("label").alias("nb_min"))
+        )
+        new_labels = (
+            labels.join(nb_min, labels["id"] == nb_min["nid"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce("nb_min", F.col("label"))
+                ).alias("label"),
+            )
+        )
+        if (it + 1) % checkpoint_every == 0:
+            new_labels = new_labels.localCheckpoint(eager=False)
+        new_labels = new_labels.persist()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"neardup_components did not converge in {max_iter} rounds"
+        )
+    edges.unpersist()
+    out = labels.select(F.col("id"), F.col("label").alias("component_id"))
+    out.cached_deps = [labels]
+    return out
+
+
+def neardup_survivors(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Near-dup KEEP decision: drop every component member except the
+    smallest id (deterministic winner, mirroring dedup_exact). Documents in
+    no pair survive untouched — one broadcast-friendly anti-join against
+    the non-canonical members."""
+    comps = neardup_components(pairs, id_a, id_b)
+    losers = comps.where(F.col("id") != F.col("component_id")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
 def boilerplate_ngrams(
     df: DataFrame,
     text_col: str = "text",

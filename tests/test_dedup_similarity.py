@@ -337,3 +337,33 @@ def test_boilerplate_ngrams_vs_pandas(spark):
     expect = {(g, n) for g, n in c.items() if n >= 2}
     assert got == expect
     assert ("a b c", 3) in got  # doc 1 contributed exactly once
+
+
+def test_neardup_components_and_survivors(spark):
+    """Min-label propagation over near-dup pairs: chains (multi-round
+    propagation), stars, triangles — and the per-component KEEP decision."""
+    from importpipeline_spark.operators.dedup import (
+        neardup_components,
+        neardup_survivors,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),        # chain: label 1 travels 3 hops
+         (10, 11),                      # plain pair
+         (20, 21), (21, 22), (20, 22)], # triangle
+        "id_a long, id_b long",
+    )
+    comps = {r.id: r.component_id for r in neardup_components(pairs).collect()}
+    assert comps == {1: 1, 2: 1, 3: 1, 4: 1,
+                     10: 10, 11: 10,
+                     20: 20, 21: 20, 22: 20}
+
+    docs = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 4, 5, 10, 11, 20, 21, 22)], "doc_id long"
+    )
+    kept = {r.doc_id for r in neardup_survivors(docs, pairs).collect()}
+    # smallest id per component survives; unpaired doc 5 is untouched
+    assert kept == {1, 5, 10, 20}
+
+    with pytest.raises(RuntimeError, match="converge"):
+        neardup_components(pairs, max_iter=1)
