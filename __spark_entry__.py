@@ -677,6 +677,34 @@ def q_neardup_components(spark, sf_dir):
     )
 
 
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction + audit counts (pretraining compliance pass). The
+    fixture has no PII, so deterministic emails/IPs/phones are injected per
+    doc first — engine-identically in the oracle — then scrubbed with the
+    shared conservative regex set (JVM regexp chain, map-side only)."""
+    from importpipeline_spark.operators.pretrain import pii_counts, scrub_pii
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10.0.0."),
+            (F.col("doc_id") % 200).cast("string"),
+            F.lit(" tel +1 555 010 "), F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    c = pii_counts(F.col("text"))
+    return injected.select(
+        "doc_id",
+        scrub_pii(F.col("text")).alias("scrubbed"),
+        c["n_emails"].alias("n_emails"),
+        c["n_ips"].alias("n_ips"),
+        c["n_phones"].alias("n_phones"),
+    )
+
+
 def q_corpus_sample(spark, sf_dir):
     """Deterministic stratified corpus sampling (training-mix construction):
     hash-threshold keep decisions, reproducible under retries and across
@@ -729,6 +757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_screen": q_contamination_screen,
         "corpus_sample": q_corpus_sample,
         "neardup_components": q_neardup_components,
+        "pii_scrub": q_pii_scrub,
     }
 
 
@@ -1190,6 +1219,42 @@ def oracle_sql() -> dict[str, str]:
                 SELECT e.b AS id, r.lab FROM r JOIN e ON e.a = r.id
             )
             SELECT id AS doc_id, MIN(lab) AS component_id FROM r GROUP BY id
+        """,
+        "pii_scrub": """
+            WITH injected AS (
+                SELECT doc_id,
+                       text || ' contact user' || CAST(doc_id AS VARCHAR)
+                            || '@example.com from 10.0.0.'
+                            || CAST(doc_id % 200 AS VARCHAR)
+                            || ' tel +1 555 010 ' || CAST(doc_id AS VARCHAR)
+                       AS text
+                FROM documents
+            ),
+            stages AS (
+                SELECT doc_id, text,
+                       regexp_replace(text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                           '<EMAIL>', 'g') AS after_email
+                FROM injected
+            ),
+            stages2 AS (
+                SELECT *, regexp_replace(after_email,
+                           '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+                           '<IP>', 'g') AS after_ip
+                FROM stages
+            )
+            SELECT doc_id,
+                   regexp_replace(after_ip, '\\+?\\d[\\d -]{7,}\\d',
+                                  '<PHONE>', 'g') AS scrubbed,
+                   CAST(len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                       AS BIGINT) AS n_emails,
+                   CAST(len(regexp_extract_all(after_email,
+                       '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))
+                       AS BIGINT) AS n_ips,
+                   CAST(len(regexp_extract_all(after_ip,
+                       '\\+?\\d[\\d -]{7,}\\d')) AS BIGINT) AS n_phones
+            FROM stages2
         """,
         "corpus_sample": """
             SELECT doc_id, lang FROM documents

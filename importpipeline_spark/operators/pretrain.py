@@ -134,6 +134,38 @@ def repetition_signals(
     )
 
 
+# PII scrubbing patterns — deliberately conservative regexes that parse
+# identically under Java (Spark) and RE2 (DuckDB oracle): plain character
+# classes, \b word bounds, bounded quantifiers; no lookaround/backrefs.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE_RE = r"\+?\d[\d -]{7,}\d"
+
+
+def scrub_pii(text_col):
+    """Redact emails → ``<EMAIL>``, IPv4 addresses → ``<IP>``, phone-like
+    digit runs → ``<PHONE>`` (in that order — the earlier redactions remove
+    the digit material the looser phone pattern would otherwise re-match).
+    Pure JVM regexp_replace chain: map-side, no UDF, no shuffle."""
+    c = F.regexp_replace(text_col, PII_EMAIL_RE, "<EMAIL>")
+    c = F.regexp_replace(c, PII_IPV4_RE, "<IP>")
+    return F.regexp_replace(c, PII_PHONE_RE, "<PHONE>")
+
+
+def pii_counts(text_col):
+    """(n_emails, n_ips, n_phones) struct counted on the RAW text — the
+    audit numbers a scrubbing pass reports alongside the redacted corpus.
+    n_ips/n_phones count matches in the text as each pattern sees it after
+    the earlier redactions, mirroring scrub_pii's replacement order."""
+    after_email = F.regexp_replace(text_col, PII_EMAIL_RE, "<EMAIL>")
+    after_ip = F.regexp_replace(after_email, PII_IPV4_RE, "<IP>")
+    return F.struct(
+        F.regexp_count(text_col, F.lit(PII_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(after_email, F.lit(PII_IPV4_RE)).cast("long").alias("n_ips"),
+        F.regexp_count(after_ip, F.lit(PII_PHONE_RE)).cast("long").alias("n_phones"),
+    )
+
+
 # sample_hash constants: multiplicative hashing over exact 64-bit-safe
 # integer arithmetic — (folded_id + seed) × Knuth's constant mod a large
 # prime. max product ≈ 1e9 × 2.65e9 ≈ 2.7e18 < 2^63, so the SAME expression

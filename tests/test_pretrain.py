@@ -128,3 +128,29 @@ def test_corpus_sample_deterministic_and_nested(spark):
         [(-5_000_000_123, "en"), (-1, "en")], "doc_id long, lang string"
     )
     assert corpus_sample(neg, {"en": 1.0}, seed=1).count() == 2
+
+
+def test_pii_scrub_and_counts(spark):
+    from importpipeline_spark.operators.pretrain import pii_counts, scrub_pii
+
+    rows = [
+        (1, "mail a.b+c@ex-ample.co.uk and 192.168.1.200 then +44 20 7946 0958 done"),
+        (2, "no pii here at all"),
+        (3, "two mails x@y.io z@w.org one ip 8.8.8.8"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in df.select(
+        "doc_id", scrub_pii(F.col("text")).alias("s"),
+        pii_counts(F.col("text")).alias("c")).collect()}
+
+    s1 = got[1].s
+    assert "<EMAIL>" in s1 and "<IP>" in s1 and "<PHONE>" in s1
+    assert "a.b+c@" not in s1 and "192.168" not in s1 and "7946" not in s1
+    assert s1.startswith("mail <EMAIL> and <IP> then <PHONE> done")
+    assert (got[1].c.n_emails, got[1].c.n_ips, got[1].c.n_phones) == (1, 1, 1)
+
+    assert got[2].s == "no pii here at all"
+    assert (got[2].c.n_emails, got[2].c.n_ips, got[2].c.n_phones) == (0, 0, 0)
+
+    assert got[3].s == "two mails <EMAIL> <EMAIL> one ip <IP>"
+    assert (got[3].c.n_emails, got[3].c.n_ips, got[3].c.n_phones) == (2, 1, 0)
