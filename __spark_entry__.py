@@ -1257,8 +1257,12 @@ def oracle_sql() -> dict[str, str]:
             FROM stages2
         """,
         "corpus_sample": """
+            -- sample_hash(id, seed=1): multiplier = (2654435761*(2*1+1))
+            -- % 1000000007 = 963307234; the double-% folds negative ids the
+            -- way Spark's pmod does (DuckDB % follows the dividend's sign)
             SELECT doc_id, lang FROM documents
-            WHERE CAST(((doc_id % 1000000000 + 1) * 2654435761)
+            WHERE CAST((((doc_id % 1000000000 + 1000000000) % 1000000000 + 1)
+                        * 963307234 + 1)
                        % 1000000007 AS DOUBLE) / 1000000007
                   < CASE lang WHEN 'en' THEN 0.5
                               WHEN 'de' THEN 0.25

@@ -439,9 +439,12 @@ def neardup_components(
     rounds don't converge (pathological chain longer than max_iter).
     """
     edges = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    # no .distinct(): the per-round F.min aggregation is insensitive to
+    # duplicate edges, so deduplicating would be a wasted full shuffle of
+    # the largest relation
     edges = edges.unionByName(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).distinct().persist()
+    ).persist()
     labels = (
         edges.select(F.col("a").alias("id")).distinct()
         .withColumn("label", F.col("id"))
@@ -476,6 +479,8 @@ def neardup_components(
         if changed == 0:
             break
     else:
+        edges.unpersist()  # don't leak caches on the failure path
+        labels.unpersist()
         raise RuntimeError(
             f"neardup_components did not converge in {max_iter} rounds"
         )
@@ -500,7 +505,11 @@ def neardup_survivors(
     losers = comps.where(F.col("id") != F.col("component_id")).select(
         F.col("id").alias(id_col)
     )
-    return df.join(losers, id_col, "left_anti")
+    out = df.join(losers, id_col, "left_anti")
+    # forward the components' persisted labels so release_cache(result)
+    # can free them after materialization (CLAUDE.md rule 8)
+    out.cached_deps = getattr(comps, "cached_deps", [])
+    return out
 
 
 def boilerplate_ngrams(

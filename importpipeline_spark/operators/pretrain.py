@@ -153,10 +153,13 @@ def scrub_pii(text_col):
 
 
 def pii_counts(text_col):
-    """(n_emails, n_ips, n_phones) struct counted on the RAW text — the
-    audit numbers a scrubbing pass reports alongside the redacted corpus.
-    n_ips/n_phones count matches in the text as each pattern sees it after
-    the earlier redactions, mirroring scrub_pii's replacement order."""
+    """(n_emails, n_ips, n_phones) audit struct — the numbers a scrubbing
+    pass reports alongside the redacted corpus. Only n_emails is counted on
+    the raw text; n_ips and n_phones are counted on the progressively
+    redacted text (after_email / after_ip), mirroring scrub_pii's
+    replacement order so each count equals the number of ``<TAG>`` tokens
+    that stage actually inserted. Do NOT "fix" them to count the raw text:
+    the looser phone pattern would re-count email/IP digit material."""
     after_email = F.regexp_replace(text_col, PII_EMAIL_RE, "<EMAIL>")
     after_ip = F.regexp_replace(after_email, PII_IPV4_RE, "<IP>")
     return F.struct(
@@ -178,9 +181,19 @@ _KNUTH = 2_654_435_761
 
 
 def sample_hash(id_col, seed: int = 1):
-    """Deterministic pseudo-uniform double in [0, 1) from an id column."""
+    """Deterministic pseudo-uniform double in [0, 1) from an id column.
+
+    The multiplier itself is derived from the seed (driver-side), so two
+    seeds give two genuinely different multiplicative permutations of the
+    id space — NOT a constant rotation. (A naive ``(id + seed) * K`` is
+    affine in the seed: changing it would shift every hash by the same
+    constant and different "re-mixes" would be near-identical interval
+    rotations; caught by measurement, pinned by the overlap test.)"""
+    mult = (_KNUTH * (2 * seed + 1)) % _SAMPLE_MOD
     folded = F.pmod(id_col.cast("long"), F.lit(_SAMPLE_RANGE))
-    h = F.pmod((folded + F.lit(seed)) * F.lit(_KNUTH), F.lit(_SAMPLE_MOD))
+    h = F.pmod(
+        (folded + F.lit(1)) * F.lit(mult) + F.lit(seed), F.lit(_SAMPLE_MOD)
+    )
     return h.cast("double") / F.lit(float(_SAMPLE_MOD))
 
 
@@ -200,8 +213,11 @@ def corpus_sample(
     yields a DIFFERENT corpus — unacceptable for reproducible training
     mixes. Hash-threshold sampling is a pure map-side filter (no shuffle, no
     RNG state): the same (id, seed) always makes the same keep decision, a
-    larger ``seed`` gives an independent re-mix, and nested budgets compose
-    (fractions f1 < f2 give strictly nested samples for the same seed).
+    different ``seed`` selects a different multiplicative permutation of the
+    id space (pseudo-independent re-mix — measured overlap between two
+    seeds' samples ≈ the budget fraction, as an independent draw would
+    give), and nested budgets compose (fractions f1 < f2 give strictly
+    nested samples for the same seed).
     """
     keep = None
     for k, v in fractions.items():
