@@ -84,6 +84,59 @@ def windowed_lang_counts(
     )
 
 
+def streaming_dedup(
+    docs_stream: DataFrame,
+    text_col: str = "text",
+    watermark: str | None = None,
+    ts_col: str = "warc_ts",
+) -> DataFrame:
+    """Streaming exact content dedup: the FIRST arrival of each content
+    digest passes, later duplicates are dropped — across micro-batches and
+    (via the checkpoint) across restarts. This is the crawl-frontier shape
+    of dedup_exact: the batch op dedups a corpus at rest, this one dedups
+    the corpus as it arrives, so downstream training-data sinks only ever
+    see one copy.
+
+    State sizing is the explicit dial: ``watermark=None`` keeps one digest
+    (16 bytes + key overhead) per distinct document forever — exact global
+    dedup, state linear in corpus size, the practical trade for a frontier
+    that must never re-emit. A watermark switches to
+    ``dropDuplicatesWithinWatermark``: state is bounded by the event-time
+    horizon, and duplicates separated by more than the watermark may BOTH
+    pass (re-crawl storms are caught; month-apart re-crawls are not — pair
+    with the batch dedup sweep for those).
+    """
+    d = docs_stream.withColumn("digest", F.md5(F.col(text_col)))
+    if watermark is None:
+        return d.dropDuplicates(["digest"])
+    return d.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        ["digest"]
+    )
+
+
+def run_streaming_dedup(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint: str,
+    watermark: str | None = None,
+) -> None:
+    """Extract + streaming-dedup newly-arrived page files into a parquet
+    sink (exactly-once via the checkpoint; AvailableNow → scheduled
+    catch-up job)."""
+    docs = stream_docs(stream_pages(spark, input_path))
+    q = (
+        streaming_dedup(docs, watermark=watermark)
+        .writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_streaming_index_maintenance(
     spark: SparkSession,
     input_path: str,

@@ -210,3 +210,37 @@ def test_streaming_index_maintenance(spark, tmp_path):
     # no new files → checkpoint skips everything, stats unchanged
     run_streaming_index_maintenance(spark, inp, root, ckpt)
     assert open_index(root).stats["n_docs"] == 280
+
+
+def test_streaming_dedup_across_batches_and_restarts(spark, tmp_path):
+    """Streaming exact dedup: the first arrival of each content digest
+    passes; a duplicate arriving in a LATER run (new file, different url,
+    same content) is dropped because the dedup state survives via the
+    checkpoint."""
+    from importpipeline_spark.streaming.ingest import run_streaming_dedup
+
+    inp = str(tmp_path / "din")
+    out = str(tmp_path / "dout")
+    ckpt = str(tmp_path / "dckpt")
+
+    base = gen_pages_df(spark, 30, seed=42, partitions=1)
+    base.write.mode("append").parquet(inp)
+    run_streaming_dedup(spark, inp, out, ckpt)
+    first = spark.read.parquet(out)
+    assert first.count() == 30
+    assert first.select("digest").distinct().count() == 30
+
+    # batch 2: 10 content-duplicates under NEW urls + 5 genuinely new docs
+    dups = base.limit(10).withColumn(
+        "url", F.concat(F.col("url"), F.lit("_mirror"))
+    )
+    fresh = gen_pages_df(spark, 35, seed=42, partitions=1).exceptAll(
+        gen_pages_df(spark, 30, seed=42, partitions=1)
+    )
+    dups.unionByName(fresh).write.mode("append").parquet(inp)
+    run_streaming_dedup(spark, inp, out, ckpt)
+    second = spark.read.parquet(out)
+    # only the 5 fresh docs got through; the 10 mirrors were deduped
+    assert second.count() == 35
+    assert second.select("digest").distinct().count() == 35
+    assert second.where(F.col("url").endswith("_mirror")).count() == 0
