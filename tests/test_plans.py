@@ -130,3 +130,25 @@ def test_ngram_cap_clean_plan_untouched(spark):
     assert got.cap_reports[0].dropped_buckets == 0
     plan = plan_of(got)
     assert "LeftSemi" not in plan and "LeftAnti" not in plan, plan
+
+
+def test_pretrain_ops_plan_shapes(spark):
+    """PLANS.md §15: repetition = two exchanges (unit partial-agg + per-doc
+    agg), zero windows; corpus_sample = pure map-side filter, zero
+    exchanges; contamination joins never plan a cartesian product."""
+    import __spark_entry__ as entry_mod
+
+    rep = entry_mod.queries()["repetition_signals"](spark, SF_DIR)
+    plan = plan_of(rep)
+    # formatted mode prints each operator in the tree AND the details block;
+    # "Exchange (" matches only the tree lines — one per exchange
+    assert plan.count("Exchange (") == 2, plan
+    assert "Window" not in plan
+
+    samp = entry_mod.queries()["corpus_sample"](spark, SF_DIR)
+    plan = plan_of(samp)
+    assert "Exchange" not in plan, plan
+
+    cont = entry_mod.queries()["contamination_screen"](spark, SF_DIR)
+    plan = plan_of(cont)
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
