@@ -151,3 +151,52 @@ def test_spark_submit_update_lifecycle(spark, tmp_path):
             if line.count("\t") == 3]
     expect = [r.doc_id for r in bm25_topk_wand(spark, pidx, "the", k=5).collect()]
     assert [int(r[2]) for r in rows] == expect
+
+
+def test_spark_submit_pretrain_corpus_pipeline(spark, tmp_path):
+    """The full training-corpus pipeline as ONE spark-submit job: extract →
+    quality gate → exact dedup → near-dup dedup → decontamination → PII
+    scrub → corpus parquet, with a per-stage stats report."""
+    from pyspark.sql import functions as F
+
+    from importpipeline_spark.index.pagesgen import gen_pages_df
+
+    base = gen_pages_df(spark, 200, seed=42, partitions=2)
+    pages_path = str(tmp_path / "ppages")
+    base.write.parquet(pages_path)
+    # 20 exact content duplicates under new urls
+    base.limit(20).withColumn(
+        "url", F.concat(F.col("url"), F.lit("_mirror"))
+    ).write.mode("append").parquet(pages_path)
+    # benchmark/eval set: the texts of 5 never-mirrored docs
+    bench_path = str(tmp_path / "bench")
+    base.orderBy("url").limit(60).orderBy(F.desc("url")).limit(5).select(
+        "text"
+    ).write.parquet(bench_path)
+
+    workdir = str(tmp_path / "work2")
+    os.makedirs(workdir)
+    zpath = _zip_package(workdir)
+    out_path = str(tmp_path / "corpus")
+
+    out = _submit(
+        ["--py-files", zpath,
+         os.path.join(REPO, "jobs", "pretrain_corpus_job.py"),
+         "--input", pages_path, "--output", out_path,
+         "--benchmark", bench_path],
+        cwd=workdir,
+    )
+    stats = json.loads(out.strip().splitlines()[-1])
+    assert stats["extracted"] == 220
+    assert stats["quarantined"] == 0
+    assert stats["after_quality"] == 220  # synthetic docs pass the gate
+    assert stats["after_exact_dedup"] == 200  # 20 mirrors collapsed
+    assert stats["after_neardup"] <= stats["after_exact_dedup"]
+    # the 5 benchmark-source docs (at least) are contaminated and dropped
+    assert stats["after_decontamination"] <= stats["after_neardup"] - 4
+    assert stats["written"] == stats["after_decontamination"]
+
+    corpus = spark.read.parquet(out_path)
+    assert corpus.count() == stats["written"]
+    # content-unique and text column present post-scrub
+    assert corpus.select(F.md5("text")).distinct().count() == corpus.count()
