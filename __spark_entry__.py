@@ -253,12 +253,19 @@ def q_fieldmerge_events(spark, sf_dir):
 
 def q_antijoin_new_customers(spark, sf_dir):
     """checkexist / incremental skip as anti-join
-    (Endpoints/ESIndexDocType.cs:73-118 → left anti)."""
+    (Endpoints/ESIndexDocType.cs:73-118 → left anti). The "indexed" snapshot
+    is the orders placed before 1996-01-01 — a customer whose orders all
+    postdate the snapshot is NEW and must be (re)imported. The boundary makes
+    the row non-vacuous (>0 survivors at every SF): an all-orders anti-join
+    returns 0 rows on this fixture, which proves the join direction but not
+    the survivor computation."""
     cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders")
-    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
-        "c_custkey", "c_name", "c_mktsegment"
+    indexed = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < "1996-01-01"
     )
+    return cust.join(
+        indexed, cust.c_custkey == indexed.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name", "c_mktsegment")
 
 
 def q_join_merge_defaults(spark, sf_dir):
@@ -902,7 +909,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "antijoin_new_customers": """
             SELECT c_custkey, c_name, c_mktsegment FROM customer c
-            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+            WHERE NOT EXISTS (
+                SELECT 1 FROM orders o
+                WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderdate < TIMESTAMP '1996-01-01'
+            )
         """,
         "join_merge_defaults": """
             SELECT o_orderkey,
@@ -1119,11 +1130,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "repetition_signals": """
             WITH t AS (
+                -- empty tokens filtered, matching the engine's _toks (trim
+                -- strips only spaces in Spark, so a trailing newline would
+                -- otherwise mint a phantom empty token on both sides)
                 SELECT doc_id, COALESCE(text, '') AS text,
-                       CASE WHEN trim(COALESCE(text, '')) = '' THEN []
-                            ELSE regexp_split_to_array(
-                                trim(COALESCE(text, '')), '\\s+')
-                       END AS ts,
+                       list_filter(
+                           regexp_split_to_array(
+                               trim(COALESCE(text, '')), '\\s+'),
+                           x -> x != '') AS ts,
                        CAST(length(COALESCE(text, '')) AS BIGINT) AS n_chars
                 FROM documents
             ),
@@ -1244,7 +1258,8 @@ def oracle_sql() -> dict[str, str]:
                 FROM stages
             )
             SELECT doc_id,
-                   regexp_replace(after_ip, '\\+?\\d[\\d -]{7,}\\d',
+                   regexp_replace(after_ip,
+                       '\\+?\\d{1,4}([ -]\\d{2,4}){3,4}\\b|\\+?\\d{1,4}([ -]\\d{3,4}){2}\\b|\\d{7,15}\\b',
                                   '<PHONE>', 'g') AS scrubbed,
                    CAST(len(regexp_extract_all(text,
                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
@@ -1253,7 +1268,8 @@ def oracle_sql() -> dict[str, str]:
                        '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))
                        AS BIGINT) AS n_ips,
                    CAST(len(regexp_extract_all(after_ip,
-                       '\\+?\\d[\\d -]{7,}\\d')) AS BIGINT) AS n_phones
+                       '\\+?\\d{1,4}([ -]\\d{2,4}){3,4}\\b|\\+?\\d{1,4}([ -]\\d{3,4}){2}\\b|\\d{7,15}\\b'))
+                       AS BIGINT) AS n_phones
             FROM stages2
         """,
         "corpus_sample": """

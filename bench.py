@@ -256,19 +256,23 @@ commits are per-batch driver-side renames (O(n_shards) file ops, no Spark
 barrier).
 """
     md_path = os.path.join(REPO, "BENCH", "BASELINE.md")
-    existing = ""
     if os.path.exists(md_path):
         with open(md_path) as f:
             existing = f.read()
-        if _RESUMABLE_SECTION in existing:
-            # replace ONLY the stale section: it ends at the next heading
-            # (anything appended after it must survive the rewrite)
-            head, rest = existing.split(_RESUMABLE_SECTION, 1)
-            nxt = rest.find("\n## ")
-            tail = rest[nxt + 1:] if nxt != -1 else ""
-            existing = head.rstrip() + ("\n\n" + tail if tail else "\n")
+    else:
+        existing = ""
+    if _RESUMABLE_SECTION in existing:
+        # replace the stale section IN PLACE (head + new section + tail):
+        # appending at the end would reorder any sections that followed it
+        # on every rerun
+        head, rest = existing.split(_RESUMABLE_SECTION, 1)
+        nxt = rest.find("\n## ")
+        tail = "\n" + rest[nxt + 1:].rstrip() + "\n" if nxt != -1 else ""
+        doc = head.rstrip() + "\n\n" + section.rstrip() + "\n" + tail
+    else:
+        doc = existing.rstrip() + "\n\n" + section.rstrip() + "\n"
     with open(md_path, "w") as f:
-        f.write(existing.rstrip() + "\n\n" + section)
+        f.write(doc)
     print(json.dumps({"metric": "resumable_scaling_efficiency",
                       "value": m["eff"],
                       "normalized_by_cpu_ceiling": m["eff_norm"],

@@ -95,6 +95,14 @@ def _cap_buckets(
     """
     if max_bucket_size is None:
         return rows, CapReport(tuple(bucket_cols), None, 0, 0)
+    # NULL bucket keys can never produce a candidate pair (the downstream
+    # self-joins are null-rejecting equi-joins), but the two cut branches
+    # used to disagree on them (anti-join keeps NULLs, semi-join drops
+    # them). Filter them up front so both branches — and the size
+    # aggregation — see the same rows. Unreachable for today's hash-valued
+    # keys; kept cheap (map-side IsNotNull) and consistent by construction.
+    for c in bucket_cols:
+        rows = rows.where(F.col(c).isNotNull())
     sizes = rows.groupBy(*bucket_cols).agg(F.count(F.lit(1)).alias("__bsz"))
     hot = sizes.where(F.col("__bsz") > max_bucket_size)
     hot_rows = hot.limit(_MAX_COLLECTED_HOT + 1).collect()
@@ -296,10 +304,14 @@ def minhash_lsh_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    # verify candidates with exact Jaccard on shingle sets
+    # verify candidates with exact Jaccard on shingle sets. The shingle
+    # relation feeds BOTH join sides (id_a and id_b): persist it so the
+    # corpus is shingled once, not once per side — at 100 TB the two scans
+    # are the cost, not the few-candidate join. Released with the signature
+    # cache via release_cache(result).
     sh = df.select(
         F.col(id_col).alias("id"), word_shingles(F.col(text_col), n).alias("sh")
-    )
+    ).persist()
     verified = (
         cands.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
@@ -312,7 +324,7 @@ def minhash_lsh_pairs(
         .where(F.col("jaccard") >= threshold)
     )
     verified.cap_reports = [cap_report]
-    verified.cached_deps = [sig]
+    verified.cached_deps = [sig, sh]
     return verified
 
 

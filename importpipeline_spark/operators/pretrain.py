@@ -28,8 +28,14 @@ from .dedup import word_shingles
 
 
 def _toks(text_col):
-    t = F.trim(text_col)
-    return F.when(t == "", F.array()).otherwise(F.split(t, r"\s+"))
+    # filter empties rather than relying on trim(): Spark's trim strips only
+    # SPACES, so text ending in \n or \t used to leave a trailing
+    # empty-string token that inflated n_words and minted phantom n-grams —
+    # ubiquitous on real corpora where trailing newlines are the norm. The
+    # DuckDB oracles apply the identical list_filter.
+    return F.filter(
+        F.split(F.trim(text_col), r"\s+"), lambda x: x != ""
+    )
 
 
 def _grams_all(toks, n: int):
@@ -139,7 +145,23 @@ def repetition_signals(
 # classes, \b word bounds, bounded quantifiers; no lookaround/backrefs.
 PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
-PII_PHONE_RE = r"\+?\d[\d -]{7,}\d"
+# Phone-like shapes only — NOT any digit/space run (the old `\+?\d[\d -]{7,}\d`
+# redacted measurement tables, ISBN lists, and "1 2 3 4 5 6 7 8 9"). Three
+# alternatives, leftmost-first in both Java and RE2 (verified byte-identical
+# on both engines):
+#   1. grouped: 1-4 digit lead + 3-4 separator-delimited 2-4 digit groups
+#      ("+44 20 7946 0958", "0171-555-0123") — ≥7 digits total;
+#   2. grouped short: lead + exactly 2 groups of 3-4 digits ("+1 555 010");
+#   3. plain runs of 7-15 digits ("5551234567"); longer runs lose only their
+#      15-digit suffix (the identifier is still destroyed).
+# Single-digit sequences ("1 2 3"), 2-group 2-digit shapes (dates
+# "2026-08-17"), and hyphenated ISBNs no longer match — pinned by the
+# false-positive test in tests/test_pretrain.py.
+PII_PHONE_RE = (
+    r"\+?\d{1,4}(?:[ -]\d{2,4}){3,4}\b"
+    r"|\+?\d{1,4}(?:[ -]\d{3,4}){2}\b"
+    r"|\d{7,15}\b"
+)
 
 
 def scrub_pii(text_col):

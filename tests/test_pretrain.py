@@ -41,13 +41,13 @@ def test_repetition_signals_hand_computed(crafted):
     assert r2.top_2gram_char_frac == round(3 / 5, 4)
     assert r2.top_3gram_char_frac == 1.0  # the whole doc is one 3-gram
 
-    # doc 3: trim strips only SPACES (codebase-wide tokenization convention,
-    # matching the DuckDB oracles), so the trailing "\n\n" leaves one empty
-    # trailing token: [l1, l2, l1, ""] — 4 words, l1 duplicated
+    # doc 3: Spark's trim strips only SPACES, but _toks filters empty tokens,
+    # so the trailing "\n\n" mints NO phantom token: [l1, l2, l1] — 3 words,
+    # l1 duplicated (the old behavior kept a 4th empty token; ADVICE r3)
     r3 = got[3]
-    assert (r3.n_words, r3.n_chars) == (4, 10)
+    assert (r3.n_words, r3.n_chars) == (3, 10)
     assert r3.dup_line_frac == round(2 / 3, 4)  # empty lines filtered
-    assert r3.dup_word_frac == round(2 / 4, 4)
+    assert r3.dup_word_frac == round(2 / 3, 4)
     assert r3.top_2gram_char_frac == round(5 / 10, 4)  # "l1 l2" / "l2 l1"
     assert r3.top_3gram_char_frac == round(8 / 10, 4)  # "l1 l2 l1"
 
@@ -161,3 +161,37 @@ def test_pii_scrub_and_counts(spark):
 
     assert got[3].s == "two mails <EMAIL> <EMAIL> one ip <IP>"
     assert (got[3].c.n_emails, got[3].c.n_ips, got[3].c.n_phones) == (2, 1, 0)
+
+
+def test_pii_phone_no_false_positives(spark):
+    """The phone pattern must redact phone SHAPES, not every digit run: a
+    measurement table, single-digit sequences, dates, and hyphenated ISBNs
+    survive unredacted (the old \\+?\\d[\\d -]{7,}\\d destroyed all of them
+    — VERDICT r3 'What's wrong #5')."""
+    from importpipeline_spark.operators.pretrain import pii_counts, scrub_pii
+
+    survive = [
+        "1 2 3 4 5 6 7 8 9",
+        "date 2026-08-17 here",
+        "isbn 978-3-16-148410-0 ok",
+        "readings: 12.5 13.7 14.9 16.02",
+        "page 1 22 333",
+    ]
+    redact = [
+        "+44 20 7946 0958",       # grouped international
+        "0171-555-0123",          # hyphen groups
+        "call 5551234567 now",    # plain 10-digit run
+        "+1 555 010 0042",        # 1-digit country code
+    ]
+    rows = [(i, t) for i, t in enumerate(survive + redact)]
+    df = spark.createDataFrame(rows, "i long, text string")
+    got = {r.i: r for r in df.select(
+        "i", scrub_pii(F.col("text")).alias("s"),
+        pii_counts(F.col("text")).alias("c")).collect()}
+    for i, t in enumerate(survive):
+        assert got[i].s == t, (t, got[i].s)
+        assert got[i].c.n_phones == 0
+    for j in range(len(redact)):
+        i = len(survive) + j
+        assert "<PHONE>" in got[i].s, (redact[j], got[i].s)
+        assert got[i].c.n_phones == 1
