@@ -46,7 +46,12 @@ from .build import (
     shard_of,
 )
 from .codec import BLOCK_SIZE
-from .store import POSTINGS_SCHEMA, PhysicalIndex, _encode_shard
+from .store import (
+    POSTINGS_SCHEMA,
+    PhysicalIndex,
+    _encode_shard,
+    write_terms_dictionary_from_tf,
+)
 
 SEGMENTS_SCHEMA = (
     "run_id string, segment_id int, input_snapshot string, n_docs long, "
@@ -91,6 +96,47 @@ def _seg_dir(root: str) -> str:
 
 def _seg_path(root: str, segment_id: int) -> str:
     return os.path.join(root, "postings", f"shard={segment_id}")
+
+
+def _encode_shard_with_counters(tf_pdf, dl_pdf, counters_dir: str):
+    """Cogrouped encode kernel that also emits this segment's lineage
+    counters as a tiny sidecar JSON, written executor-side next to the batch
+    output. This folds what used to be a separate per-batch Spark job (a
+    full re-read + aggregation of batch_tmp) into the encode pass itself:
+    the counters are aggregates of the kernel's own output (blocks, Σn,
+    distinct terms) plus the doclen side's row count (= the segment's doc
+    count, killing the former up-front per-shard count job too). Content is
+    deterministic and the rename is atomic, so task retries and speculative
+    duplicates are harmless; the tmp name carries the pid so two concurrent
+    attempts never collide mid-write."""
+    out = _encode_shard(tf_pdf, dl_pdf)
+    shard = None
+    if not tf_pdf.empty:
+        shard = int(tf_pdf["shard"].iloc[0])
+    elif not dl_pdf.empty:
+        shard = int(dl_pdf["shard"].iloc[0])
+    if shard is not None:
+        rec = {
+            "blocks": int(len(out)),
+            "postings": int(out["n"].sum()) if len(out) else 0,
+            "terms": int(out["term"].nunique()) if len(out) else 0,
+            "n_docs": int(len(dl_pdf)),
+        }
+        os.makedirs(counters_dir, exist_ok=True)
+        tmp = os.path.join(counters_dir, f".shard_{shard}.{os.getpid()}.tmp")
+        with open(tmp, "w") as f:
+            json.dump(rec, f)
+        os.replace(tmp, os.path.join(counters_dir, f"shard_{shard}.json"))
+    return out
+
+
+def _read_counters(counters_dir: str, segment_id: int) -> dict:
+    p = os.path.join(counters_dir, f"shard_{segment_id}.json")
+    if not os.path.exists(p):
+        # doc range with no group at all (no docs, no postings)
+        return {"blocks": 0, "postings": 0, "terms": 0, "n_docs": 0}
+    with open(p) as f:
+        return json.load(f)
 
 
 def read_lineage(spark: SparkSession, root: str) -> DataFrame | None:
@@ -262,6 +308,7 @@ def build_index_resumable(
     # writes) and releases the caches.
     tf_cached = None
     pos = 0
+    dict_done = False
     try:
         # phase B: per-segment postings (segment == doc-range shard); only
         # segments recorded ok FOR THIS INPUT SNAPSHOT count as finished
@@ -302,15 +349,7 @@ def build_index_resumable(
         if docs is None and len(todo) > batch_size:
             tf = tf.persist()
             tf_cached = tf
-        # per-shard doc counts for ALL remaining segments in one job (they
-        # feed lineage rows only, so up-front is crash-equivalent)
-        ndocs = {}
-        if todo:
-            ndocs = {
-                int(r.shard): int(r["count"])
-                for r in dl.where(F.col("shard").isin(todo))
-                .groupBy("shard").count().collect()
-            }
+        counters_dir = os.path.join(root, "postings_batch_counters")
         for start in range(0, len(todo), batch_size):
             batch = todo[start:start + batch_size]
             started = datetime.now(timezone.utc).isoformat()
@@ -326,28 +365,17 @@ def build_index_resumable(
             out = (
                 seg_tf.groupBy("shard")
                 .cogroup(seg_dl.groupBy("shard"))
-                .applyInPandas(lambda l, r: _encode_shard(l, r), POSTINGS_SCHEMA)
+                .applyInPandas(
+                    lambda l, r: _encode_shard_with_counters(l, r, counters_dir),
+                    POSTINGS_SCHEMA,
+                )
             )
             shutil.rmtree(batch_tmp, ignore_errors=True)
             out.write.mode("overwrite").partitionBy("shard").parquet(batch_tmp)
-            # per-segment counters for the whole batch in two small jobs
-            try:
-                meta = {
-                    int(r.shard): r
-                    for r in spark.read.parquet(batch_tmp)
-                    .groupBy("shard")
-                    .agg(
-                        F.count(F.lit(1)).alias("blocks"),
-                        F.sum("n").alias("postings"),
-                        F.count_distinct("term").alias("terms"),
-                    )
-                    .collect()
-                }
-            except Exception:
-                meta = {}  # every shard in the batch was empty (no footers)
             # commit each segment: files into place FIRST, lineage row after
             # — a kill between the two just re-encodes that segment on
-            # resume (deterministic, so the final bytes are identical)
+            # resume (deterministic, so the final bytes are identical).
+            # Counters come from the kernel's sidecars (no extra job).
             for seg in batch:
                 path = _seg_path(root, seg)
                 os.makedirs(os.path.dirname(path), exist_ok=True)
@@ -357,23 +385,23 @@ def build_index_resumable(
                     os.rename(src, path)
                 else:  # doc range with no postings at all
                     os.makedirs(path, exist_ok=True)
-                m = meta.get(seg)
+                m = _read_counters(counters_dir, seg)
                 _append_lineage(
                     root,
                     {
                         "run_id": run_id,
                         "segment_id": seg,
                         "input_snapshot": input_snapshot,
-                        "n_docs": ndocs.get(seg, 0),
-                        "n_postings": int(m.postings) if m is not None else 0,
+                        "n_docs": m["n_docs"],
+                        "n_postings": m["postings"],
                         "status": "ok",
                         "started_ts": started,
                         "finished_ts": datetime.now(timezone.utc).isoformat(),
                         # per-segment metrics (mirrors DatasourceReport
                         # counters — ImportReport.cs:92-209)
                         "metrics": {
-                            "blocks": int(m.blocks) if m is not None else 0,
-                            "distinct_terms": int(m.terms) if m is not None else 0,
+                            "blocks": m["blocks"],
+                            "distinct_terms": m["terms"],
                         },
                     },
                 )
@@ -383,6 +411,20 @@ def build_index_resumable(
             shutil.rmtree(batch_tmp, ignore_errors=True)
             if stats is None:
                 stats = _finalize_phase_a(block=False)
+        shutil.rmtree(counters_dir, ignore_errors=True)
+        if todo:
+            # dictionary from the still-live tf relation: one aggregation
+            # job over the cached frame instead of a full re-read of every
+            # posting segment from disk (that re-read was a large share of
+            # the crash-safe path's overhead vs write_index). Correct on
+            # partial resumes too: tf covers the WHOLE docs table, and every
+            # on-disk segment is an encode of this same input snapshot
+            # (_finished_segments filters by snapshot; a snapshot mismatch
+            # raises up front).
+            write_terms_dictionary_from_tf(
+                tf, os.path.join(root, "terms"), dict_files
+            )
+            dict_done = True
     finally:
         # join the concurrent phase-A jobs BEFORE leaving (even on the
         # crash path: a caller that immediately resumes must not race
@@ -405,9 +447,13 @@ def build_index_resumable(
         if docs_cached is not None:
             docs_cached.unpersist()
 
-    # dictionary derived from the completed posting segments — idempotent,
-    # so a resumed run just re-derives it (single impl: store.py)
-    _derive_dictionary(spark, root, dict_files)
+    if not dict_done:
+        # nothing-to-do resume (all segments lineaged; e.g. the prior run
+        # died between the last segment commit and the dictionary write):
+        # derive from the on-disk posting segments — tf was never computed,
+        # and re-tokenizing the whole corpus just for the dictionary would
+        # cost more than the posting-metadata scan
+        _derive_dictionary(spark, root, dict_files)
 
     return PhysicalIndex(root=root, stats=stats)
 

@@ -127,6 +127,30 @@ def write_terms_dictionary(postings: DataFrame, path: str, n_files: int = 4) -> 
     )
 
 
+def write_terms_dictionary_from_tf(tf_sharded: DataFrame, path: str,
+                                   n_files: int = 4) -> None:
+    """Dictionary derived from the (doc_id, term, tf, shard) relation instead
+    of the on-disk posting blocks: df per term = tf row count (each (doc,
+    term) pair becomes exactly one posting entry, so Σ block n ≡ the count),
+    shards = the term's shard set. Same aggregation shape, layout, and
+    schema as write_terms_dictionary — byte-compatible by construction and
+    asserted equal in tests/test_segments.py. The resumable build uses this
+    when the tf relation is already cached (fresh or partially-resumed run):
+    one job over the cache instead of a full re-read of every posting
+    segment from disk."""
+    (
+        tf_sharded.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sort_array(F.collect_set("shard")).alias("shards"),
+        )
+        .repartition(n_files, "term")
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
 def build_postings_df(tf: DataFrame, doclen: DataFrame, n_shards: int) -> DataFrame:
     """tf ⋈(cogroup by shard) doclen → encoded blocks.
 

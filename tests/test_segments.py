@@ -72,6 +72,25 @@ def test_kill_and_resume_bit_identical(spark, tmp_path):
     got = bm25_topk_wand(spark, pidx, "the", k=5).collect()
     assert len(got) == 5
 
+    # the tf-derived dictionary (write_terms_dictionary_from_tf) must be
+    # content-identical to write_index's block-metadata-derived one — same
+    # rows, same df, same shard lists (df per term = tf row count ≡ Σ block n)
+    from importpipeline_spark.index.store import write_index
+
+    full_root = str(tmp_path / "full")
+    write_index(spark, pages, full_root, n_shards=8, write_docs=False)
+
+    def _terms_frame(root):
+        parts = sorted(glob.glob(os.path.join(root, "terms", "*.parquet")))
+        df = pd.concat([pd.read_parquet(p) for p in parts], ignore_index=True)
+        df["shards"] = df["shards"].map(lambda a: tuple(int(x) for x in a))
+        return df.sort_values("term").reset_index(drop=True)
+
+    ta, tb = _terms_frame(clean_root), _terms_frame(full_root)
+    assert ta["term"].tolist() == tb["term"].tolist()
+    assert ta["df"].tolist() == tb["df"].tolist()
+    assert ta["shards"].tolist() == tb["shards"].tolist()
+
     # lineage carries per-segment counters + metrics (SURVEY §7.1, mirroring
     # DatasourceReport — ImportReport.cs:92-209), not just status
     rows = read_lineage(spark, crash_root).collect()
