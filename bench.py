@@ -40,6 +40,75 @@ HEADLINE = [
 WAND_QUERIES = ["the", "of and", "the ebakaba8 equababa1", "der die und"]
 
 
+def _pick_sweep_queries(idx_root: str) -> dict:
+    """Deterministic realistic query-class workload for the web-corpus sweep
+    probe, derived from the index itself (df targets + posting-range
+    classification), so the probe is self-calibrating on any corpus size:
+
+    - head_only: the top-df term (stopword) — bounds are flat for this class
+      on ANY corpus (tf-dl correlation keeps every block's optimistic bound
+      above realizable scores; documented in PLANS §16), kept for honesty;
+    - head + topical mid/rare: topical terms have NARROW posting ranges
+      under host_locality ids (their hosts' doc ranges) — the class where
+      block-max pruning skips nearly everything;
+    - head + scattered rare: a rare term whose occurrences are background
+      (wide range) — the adversarial mixed case;
+    - topic_pair: two co-occurring topical terms (same host range);
+    - three_mixed: head + topical mid + topical rare.
+    """
+    import glob as _glob
+
+    import pandas as pd
+
+    from importpipeline_spark.index.serve import LocalSearcher
+
+    s = LocalSearcher(idx_root)
+    terms = pd.concat(
+        [pd.read_parquet(p)
+         for p in _glob.glob(os.path.join(idx_root, "terms", "*.parquet"))],
+        ignore_index=True,
+    )
+    tdf = dict(zip(terms["term"], terms["df"].astype(int)))
+    head = max(tdf, key=lambda t: (tdf[t], t))
+
+    def rng_of(t):
+        st, en = s._t_start[t], s._t_end[t]
+        return int(s._min_u[st]), int(s._max_u[en - 1])
+
+    # generated (content) words end in a digit — excludes cross-language
+    # stopwords from the mid/rare picks
+    synth = [t for t in tdf if t and t[-1].isdigit() and t in s._t_start]
+    narrow_w = 1 << 41  # ≲ two host ranges under the 40-bit locality field
+    narrow = [t for t in synth if rng_of(t)[1] - rng_of(t)[0] < narrow_w]
+    scattered = [t for t in synth if t not in set(narrow)]
+
+    def pick(cands, target):
+        return min(cands, key=lambda t: (abs(tdf[t] - target), t))
+
+    topic_mid = pick(narrow, 1500)
+    topic_rare = pick(narrow, 100)
+    scat_rare = pick(scattered, 100) if scattered else topic_rare
+    pair = None
+    nd = sorted(narrow, key=lambda t: (-tdf[t], t))[:60]
+    for i, t1 in enumerate(nd):
+        lo1, hi1 = rng_of(t1)
+        for t2 in nd[i + 1:]:
+            lo2, hi2 = rng_of(t2)
+            if lo2 < hi1 and lo1 < hi2:
+                pair = (t1, t2)
+                break
+        if pair:
+            break
+    return {
+        "head_only": head,
+        "head_topic_mid": f"{head} {topic_mid}",
+        "head_topic_rare": f"{head} {topic_rare}",
+        "head_scat_rare": f"{head} {scat_rare}",
+        "topic_pair": " ".join(pair) if pair else f"{topic_mid} {topic_rare}",
+        "three_mixed": f"{head} {topic_mid} {topic_rare}",
+    }
+
+
 def _sf_of(sf_dir: str) -> float:
     base = os.path.basename(sf_dir.rstrip("/"))
     try:
@@ -410,18 +479,26 @@ def headline() -> None:
         qps = max(qps, n_q / (time.perf_counter() - t0))
     times["serve_qps"] = round(qps, 1)
 
-    # block-max interval-sweep probe: the same serving tier with the
-    # exhaustive shortcut disabled, so the timed path is the PRUNING branch
-    # a web-scale index always takes (candidate postings >> cutoff). A fresh
-    # searcher keeps the decode cache cold for the first pass; reported qps
-    # is the steady-state (warm) min-of-2, matching serve_qps, plus the
-    # fraction of candidate blocks the sweep actually had to decode.
+    # block-max interval-sweep probes, two corpora:
+    #
+    # 1. FLAT (the uniform 60k index above): the adversarial regression case
+    #    — i.i.d. term occurrences + hashed doc ids make block bounds flat,
+    #    so pruning CANNOT skip decodes (PLANS §14 proves this is
+    #    corpus-inherent); the probe guards the adaptive take-all shortcut
+    #    that bounds the sweep's penalty there.
+    # 2. WEB (web-profile corpus + host_locality doc ids — the index-sorting
+    #    analogue): crawl/topic locality makes bounds VARY, and the sweep is
+    #    measured on a realistic query-class workload (head-only, head+
+    #    topical mid/rare, scattered rare, same-topic pair, three-term mix)
+    #    against a forced-exhaustive run of the same workload. This is the
+    #    at-scale case block-max pruning exists for; headline
+    #    wand_sweep_blocks_frac is the workload-weighted decode fraction.
     import importpipeline_spark.index.wand as wand_mod
 
-    sweep_searcher = LocalSearcher(idx_root)
     old_cutoff = wand_mod._EXHAUSTIVE_CUTOFF
-    wand_mod._EXHAUSTIVE_CUTOFF = 0
     try:
+        wand_mod._EXHAUSTIVE_CUTOFF = 0
+        sweep_searcher = LocalSearcher(idx_root)
         sweep_searcher.search(WAND_QUERIES[0], k=10)
         sqps = 0.0
         for _ in range(2):
@@ -434,10 +511,49 @@ def headline() -> None:
             sweep_searcher.search(q, k=10)
             st = sweep_searcher.last_stats
             fracs.append(st["blocks_decoded"] / max(1, st["blocks_total"]))
+        times["wand_sweep_qps_flat"] = round(sqps, 1)
+        times["wand_sweep_blocks_frac_flat"] = round(sum(fracs) / len(fracs), 3)
+
+        # web corpus: generate + build (setup, untimed; pages reused across
+        # runs, index rebuilt so the probe always reflects current code)
+        from importpipeline_spark.index.pagesgen import write_pages as _wp
+
+        pages_web_path = os.path.join(out_root, f"pages_web_{n_docs}")
+        if not os.path.exists(pages_web_path):
+            _wp(spark, pages_web_path, n_docs, profile="web")
+        idx_web = os.path.join(out_root, "index_web")
+        shutil.rmtree(idx_web, ignore_errors=True)
+        write_index(spark, spark.read.parquet(pages_web_path), idx_web,
+                    n_shards=64, write_docs=False,
+                    doc_id_mode="host_locality")
+        web_queries = _pick_sweep_queries(idx_web)
+        dec = tot = 0
+        web_s = LocalSearcher(idx_web)
+        for q in web_queries.values():
+            web_s.search(q, k=10)
+            st = web_s.last_stats
+            dec += st["blocks_decoded"]
+            tot += st["blocks_total"]
+        times["wand_sweep_blocks_frac"] = round(dec / max(1, tot), 3)
+
+        def _web_qps(cutoff):
+            wand_mod._EXHAUSTIVE_CUTOFF = cutoff
+            s2 = LocalSearcher(idx_web)
+            qs = list(web_queries.values())
+            for q in qs:
+                s2.search(q, k=10)
+            best = 0.0
+            for _ in range(2):
+                t0 = time.perf_counter()
+                for i in range(n_q):
+                    s2.search(qs[i % len(qs)], k=10)
+                best = max(best, n_q / (time.perf_counter() - t0))
+            return best
+
+        times["wand_sweep_qps"] = round(_web_qps(0), 1)
+        times["wand_exhaustive_qps_web"] = round(_web_qps(1 << 60), 1)
     finally:
         wand_mod._EXHAUSTIVE_CUTOFF = old_cutoff
-    times["wand_sweep_qps"] = round(sqps, 1)
-    times["wand_sweep_blocks_frac"] = round(sum(fracs) / len(fracs), 3)
 
     print(json.dumps({
         "metric": "docs_indexed_per_sec",

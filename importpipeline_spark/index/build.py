@@ -52,6 +52,40 @@ B = 0.75
 _SIGN_FLIP = -(1 << 63)
 
 
+def doc_id_expr(doc_id_mode: str = "hash"):
+    """doc_id derivation, JVM-side and deterministic in both modes.
+
+    - ``"hash"`` (default): ``xxhash64(url)`` — uniform spread over the
+      signed-64 space, so equal-width range shards stay balanced whatever
+      the corpus looks like.
+    - ``"host_locality"``: the index-sorting analogue for web corpora
+      (Lucene's recommended companion to block-max WAND): top 24 bits =
+      ``xxhash64(host)``, low 40 bits = ``xxhash64(url)``. Every host's
+      documents occupy one contiguous doc-id range, so posting blocks
+      inherit the crawl's topic/doc-length locality and block-max bounds
+      VARY across a term's posting list — the property pruning feeds on;
+      under plain url-hash ids every block is a uniform sample of the
+      posting list and bounds flatten out (PLANS §14/§16, measured). Hosts
+      themselves scatter uniformly, so range shards stay balanced as long
+      as hosts ≪ docs. Envelope: 2^40 ids per host (collision-safe to
+      ~10^6 docs/host; beyond that widen the low field or supply ingest
+      ordinals); a single mega-host concentrates its doc range into one
+      shard — the known index-sorting trade.
+    """
+    if doc_id_mode == "hash":
+        return F.xxhash64(F.col("url"))
+    if doc_id_mode == "host_locality":
+        host = F.parse_url(F.col("url"), F.lit("HOST"))
+        return (
+            F.xxhash64(host)
+            .bitwiseAND(F.lit(-(1 << 40)))
+            .bitwiseOR(
+                F.xxhash64(F.col("url")).bitwiseAND(F.lit((1 << 40) - 1))
+            )
+        )
+    raise ValueError(f"unknown doc_id_mode: {doc_id_mode!r}")
+
+
 def shard_of(doc_id_col, n_shards: int):
     """Order-preserving range shard: top bits of bits(doc_id) XOR 1<<63.
 
@@ -67,7 +101,7 @@ def shard_of(doc_id_col, n_shards: int):
     ).cast("int")
 
 
-def build_docs(pages: DataFrame) -> DataFrame:
+def build_docs(pages: DataFrame, doc_id_mode: str = "hash") -> DataFrame:
     """pages → docs(doc_id, url, warc_ts, text, tokens, doc_len, lang).
 
     Extraction is byte-identical per url to the reference
@@ -75,7 +109,7 @@ def build_docs(pages: DataFrame) -> DataFrame:
     """
     return (
         pages.withColumn("text", html_to_text_udf(F.col("html")))
-        .withColumn("doc_id", F.xxhash64(F.col("url")))
+        .withColumn("doc_id", doc_id_expr(doc_id_mode))
         .withColumn("tokens", tokenize_udf(F.col("text")))
         .withColumn(
             "doc_len",
@@ -111,7 +145,7 @@ def tf_pairs_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
         yield s.map(one)
 
 
-def build_docs_safe(pages: DataFrame):
+def build_docs_safe(pages: DataFrame, doc_id_mode: str = "hash"):
     """Like build_docs but with per-record quarantine: returns (docs, errors).
 
     errors(url, stage, error, ts) mirrors the reference's error records
@@ -127,7 +161,7 @@ def build_docs_safe(pages: DataFrame):
         extracted.where(F.col("ex.error").isNull())
         .withColumn("text", F.col("ex.text"))
         .drop("ex")
-        .withColumn("doc_id", F.xxhash64(F.col("url")))
+        .withColumn("doc_id", doc_id_expr(doc_id_mode))
         .withColumn("tokens", tokenize_udf(F.col("text")))
         .withColumn(
             "doc_len",
@@ -154,7 +188,7 @@ _FUSED_SCHEMA = (
 )
 
 
-def build_docs_and_tf(pages: DataFrame) -> DataFrame:
+def build_docs_and_tf(pages: DataFrame, doc_id_mode: str = "hash") -> DataFrame:
     """Fused physical-build pass: extract + tokenize + per-doc term counts in
     ONE mapInPandas evaluation (one JVM↔Python Arrow round-trip instead of
     three chained UDFs). doc_id is added JVM-side (xxhash64).
@@ -201,7 +235,7 @@ def build_docs_and_tf(pages: DataFrame) -> DataFrame:
             )
 
     return pages.mapInPandas(run, schema=_FUSED_SCHEMA).withColumn(
-        "doc_id", F.xxhash64(F.col("url"))
+        "doc_id", doc_id_expr(doc_id_mode)
     )
 
 
@@ -211,7 +245,7 @@ _FUSED_SAFE_SCHEMA = (
 )
 
 
-def build_docs_and_tf_safe(pages: DataFrame):
+def build_docs_and_tf_safe(pages: DataFrame, doc_id_mode: str = "hash"):
     """Fused QUARANTINING build pass: build_docs_and_tf's one-Arrow-round-trip
     shape (extract + tokenize + per-doc term counts in a single mapInPandas)
     plus build_docs_safe's per-record error capture — the crash-safe build
@@ -272,7 +306,7 @@ def build_docs_and_tf_safe(pages: DataFrame):
             )
 
     raw = pages.mapInPandas(run, schema=_FUSED_SAFE_SCHEMA).withColumn(
-        "doc_id", F.xxhash64(F.col("url"))
+        "doc_id", doc_id_expr(doc_id_mode)
     )
     errors = raw.where(F.col("error").isNotNull()).select(
         "url",
@@ -337,8 +371,9 @@ class LogicalIndex:
     stats: dict
 
 
-def build_logical_index(pages: DataFrame, cache: bool = True) -> LogicalIndex:
-    docs = build_docs(pages)
+def build_logical_index(pages: DataFrame, cache: bool = True,
+                        doc_id_mode: str = "hash") -> LogicalIndex:
+    docs = build_docs(pages, doc_id_mode)
     if cache:
         docs = docs.persist()
     tf = build_tf(docs)

@@ -95,6 +95,95 @@ _EPOCH = datetime(2024, 1, 1, tzinfo=timezone.utc)
 _N_HOSTS = 1000
 _HOST_CUM = np.cumsum((np.arange(1, _N_HOSTS + 1, dtype=np.float64)) ** (-_ZIPF_S))
 
+# ---- "web" profile: crawl-ordered topic/host locality + bursty tf ----
+#
+# The uniform profile's term occurrences are i.i.d. per doc, so per-block
+# posting statistics (max_tf, min_dl) concentrate and block-max bounds come
+# out flat — no pruning strategy can skip decodes there (PLANS §14). Real
+# web crawls are nothing like that: a crawl visits hosts in runs, a host has
+# a topic (its pages reuse a host-specific vocabulary heavily), pages repeat
+# their topical words many times (burstiness), and document length is
+# strongly host-dependent (forums vs link farms). The web profile models
+# exactly those four properties, each with a public-web justification:
+#
+# - crawl segments of _SEG_DOCS consecutive row_ids share ONE host
+#   (crawl-order locality);
+# - each segment draws a topic = a _TOPIC_SLICE-word slice of the
+#   mid-frequency vocabulary; a p_topic share of the doc's working set
+#   comes from it (host-topicality);
+# - tokens are drawn from a small per-doc working set with a zipf weight —
+#   the burstiness that makes topical tf reach the dozens while background
+#   occurrences stay at tf 1-2;
+# - per-segment dl_scale multiplies a heavy-tailed doc length.
+_SEG_DOCS = 1024
+_TOPIC_SLICE = 400
+_BURST_S = 1.3
+# background (non-topical) draws use a steeper zipf than the uniform
+# profile: real background prose is dominated by function words, while
+# mid-band content words occur almost exclusively where they are topical —
+# this is what keeps a topical term's posting list concentrated in its
+# hosts' doc ranges instead of smearing one-off occurrences everywhere
+_BG_ZIPF_S = 1.35
+_SLICE_W = (np.arange(1, _TOPIC_SLICE + 1, dtype=np.float64)) ** (-_ZIPF_S)
+_SLICE_CUM = np.cumsum(_SLICE_W)
+
+_bg_cum_cache: dict = {}
+
+
+def _bg_cum(lang: str) -> np.ndarray:
+    c = _bg_cum_cache.get(lang)
+    if c is None:
+        w = (np.arange(1, _VOCAB_SIZE[lang] + 1, dtype=np.float64)) ** (-_BG_ZIPF_S)
+        c = np.cumsum(w)
+        _bg_cum_cache[lang] = c
+    return c
+
+_seg_cache: dict = {}
+
+
+def _seg_params(seed: int, seg: int) -> dict:
+    """Deterministic per-crawl-segment parameters (host, topic, doc-length
+    scale). Cached per worker; pure function of (seed, seg)."""
+    key = (seed, seg)
+    got = _seg_cache.get(key)
+    if got is None:
+        rng = np.random.default_rng([seed, 7_777_777, seg])
+        got = {
+            "host": int(rng.integers(0, _N_HOSTS)),
+            "dl_scale": float(np.exp(rng.normal(0.0, 0.7))),
+            "u_topic": float(rng.random()),
+            "p_topic": float(rng.uniform(0.25, 0.65)),
+        }
+        _seg_cache[key] = got
+    return got
+
+
+def _sample_words_web(
+    rng: np.random.Generator, lang: str, k: int, sp: dict
+) -> List[str]:
+    """Bursty working-set sampler: build a small per-doc vocabulary (topic
+    slice + global zipf), then draw the doc's k tokens from it with a zipf
+    weight — the first (topical) entries get the burst mass."""
+    size = _VOCAB_SIZE[lang]
+    m = max(4, k // 8)
+    n_topic = int(round(sp["p_topic"] * m))
+    t0 = 100 + int(sp["u_topic"] * max(1, size - 100 - _TOPIC_SLICE))
+    t_idx = np.searchsorted(
+        _SLICE_CUM, rng.random(n_topic) * _SLICE_CUM[-1], side="right"
+    )
+    topic_ranks = t0 + np.minimum(t_idx, _TOPIC_SLICE - 1)
+    cum = _bg_cum(lang)
+    bg_idx = np.searchsorted(
+        cum, rng.random(m - n_topic) * cum[-1], side="right"
+    )
+    bg_ranks = np.minimum(bg_idx, len(cum) - 1)
+    ranks = np.concatenate([topic_ranks, bg_ranks])
+    bw = np.cumsum(
+        (np.arange(1, len(ranks) + 1, dtype=np.float64)) ** (-_BURST_S)
+    )
+    pick = np.searchsorted(bw, rng.random(k) * bw[-1], side="right")
+    return list(vocab(lang)[ranks[np.minimum(pick, len(ranks) - 1)]])
+
 
 def _esc(word: str) -> str:
     # words are alnum+diacritics by construction; entities injected explicitly
@@ -163,20 +252,35 @@ _NOISE = [
 ]
 
 
-def gen_page(row_id: int, seed: int = 42) -> dict:
-    """Build one deterministic page row. Pure function of (seed, row_id)."""
+def gen_page(row_id: int, seed: int = 42, profile: str = "uniform") -> dict:
+    """Build one deterministic page row. Pure function of (seed, row_id,
+    profile). ``profile="uniform"`` is the original i.i.d. corpus (kept
+    byte-stable — existing fixtures and goldens depend on it);
+    ``profile="web"`` adds crawl/host locality, topic burstiness, and
+    host-dependent doc length (see the _SEG_DOCS block comment)."""
     rng = np.random.default_rng([seed, row_id])
     lang = LANGS[int(np.searchsorted(_LANG_CUM, rng.random(), side="right").item())]
-    host = int(np.searchsorted(_HOST_CUM, rng.random() * _HOST_CUM[-1], side="right"))
+    if profile == "web":
+        sp = _seg_params(seed, row_id // _SEG_DOCS)
+        host = sp["host"]
+        sample = lambda rng_, lang_, k: _sample_words_web(rng_, lang_, k, sp)  # noqa: E731
+    elif profile == "uniform":
+        host = int(np.searchsorted(_HOST_CUM, rng.random() * _HOST_CUM[-1], side="right"))
+        sample = _sample_words
+    else:
+        raise ValueError(f"unknown pages profile: {profile!r}")
     url = f"https://host{host:04d}.example/p/{row_id:010d}"
     ts = _EPOCH + timedelta(seconds=int(row_id) * 7 + int(rng.integers(0, 5)))
 
-    doc_len = int(np.clip(rng.lognormal(4.0, 0.8), 10, 800))
+    if profile == "web":
+        doc_len = int(np.clip(rng.lognormal(3.8, 1.0) * sp["dl_scale"], 10, 4000))
+    else:
+        doc_len = int(np.clip(rng.lognormal(4.0, 0.8), 10, 800))
     kind = rng.random()
 
     if kind < 0.02:
         # plain-text passthrough: QuessIsHtml → false (HtmlProcessor.cs:160-182)
-        words = _sample_words(rng, lang, doc_len)
+        words = sample(rng, lang, doc_len)
         text = " ".join(words)
         return {"url": url, "warc_ts": ts, "html": text.encode("utf-8"),
                 "text": text, "lang": lang}
@@ -191,7 +295,7 @@ def gen_page(row_id: int, seed: int = 42) -> dict:
             paras = []
             ptexts = []
             for _ in range(int(m)):
-                w = _sample_words(rng, lang, max(3, doc_len // (2 * int(m))))
+                w = sample(rng, lang, max(3, doc_len // (2 * int(m))))
                 paras.append(f"<p>{' '.join(w)}</p>")
                 ptexts.append(" ".join(w))
             parts.append(f'<div class="email-entry">{"".join(paras)}</div>')
@@ -210,7 +314,7 @@ def gen_page(row_id: int, seed: int = 42) -> dict:
     per = max(3, doc_len // n_para)
     blocks, texts = [], []
     for _ in range(n_para):
-        w = _sample_words(rng, lang, per)
+        w = sample(rng, lang, per)
         # occasional mixed-case word (exercises lowercase in the analyzer)
         if rng.random() < 0.3:
             j = int(rng.integers(0, len(w)))
@@ -220,7 +324,7 @@ def gen_page(row_id: int, seed: int = 42) -> dict:
         if rng.random() < 0.25:
             blocks.append(_NOISE[int(rng.integers(0, len(_NOISE)))])
         texts.append(t)
-    title_w = " ".join(_sample_words(rng, lang, 4))
+    title_w = " ".join(sample(rng, lang, 4))
     html = (
         "<!DOCTYPE html>\n<html>\n<head>\n"
         f"<title>{title_w}</title>\n"
@@ -236,7 +340,8 @@ PAGES_SCHEMA = (
 )
 
 
-def gen_pages_df(spark, n_rows: int, seed: int = 42, partitions: int | None = None):
+def gen_pages_df(spark, n_rows: int, seed: int = 42,
+                 partitions: int | None = None, profile: str = "uniform"):
     """Distributed deterministic generation: spark.range → mapInPandas."""
     if partitions is None:
         # enough splits to feed a wide cluster through the downstream
@@ -247,11 +352,14 @@ def gen_pages_df(spark, n_rows: int, seed: int = 42, partitions: int | None = No
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = [gen_page(int(i), seed) for i in pdf["id"]]
+            rows = [gen_page(int(i), seed, profile) for i in pdf["id"]]
             yield pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang"])
 
     return rdd_df.mapInPandas(gen, schema=PAGES_SCHEMA)
 
 
-def write_pages(spark, path: str, n_rows: int, seed: int = 42) -> None:
-    gen_pages_df(spark, n_rows, seed).write.mode("overwrite").parquet(path)
+def write_pages(spark, path: str, n_rows: int, seed: int = 42,
+                profile: str = "uniform") -> None:
+    gen_pages_df(spark, n_rows, seed, profile=profile).write.mode(
+        "overwrite"
+    ).parquet(path)

@@ -199,17 +199,21 @@ def write_index(
     n_shards: int = 16,
     write_docs: bool = True,
     dict_files: int = 4,
+    doc_id_mode: str = "hash",
 ) -> PhysicalIndex:
     """Full build: pages → physical index at ``root``.
 
     Uses the fused extract+tokenize+count pass (one Arrow round-trip),
     persisted once; docs, doclen, tf and stats all derive from it JVM-side.
+    ``doc_id_mode="host_locality"`` selects host-clustered doc ids (the
+    index-sorting analogue — see build.doc_id_expr) for web corpora where
+    block-max pruning should bite.
     """
     from .build import build_docs_and_tf
 
     from concurrent.futures import ThreadPoolExecutor
 
-    fused = build_docs_and_tf(pages).persist()
+    fused = build_docs_and_tf(pages, doc_id_mode).persist()
     tf = fused.select(
         "doc_id", F.explode("tf_pairs").alias("p")
     ).select("doc_id", F.col("p.term").alias("term"), F.col("p.tf").alias("tf"))
