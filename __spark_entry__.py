@@ -712,6 +712,41 @@ def q_pii_scrub(spark, sf_dir):
     )
 
 
+def q_strip_boilerplate(spark, sf_dir):
+    """Boilerplate REMOVAL (the consumer of boilerplate_ngrams' mined
+    spans): strip every token covered by a word trigram that appears in ≥3
+    documents; emit the stripped text + exact per-doc drop count.
+    Position-coverage semantics — order-independent and exactly
+    reproducible by the SQL oracle."""
+    from importpipeline_spark.operators.dedup import (
+        boilerplate_ngrams,
+        strip_boilerplate,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    mined = boilerplate_ngrams(docs, "text", "doc_id", n=3, min_df=3)
+    return strip_boilerplate(docs, mined, "text", "doc_id", n=3).select(
+        "doc_id", F.col("text").alias("stripped"), "n_removed"
+    )
+
+
+def q_contamination_attrib(spark, sf_dir):
+    """Decontamination with provenance: which benchmark item each
+    contaminated document overlaps most (count DESC, bench_id ASC
+    tie-break) — the audit column of a real decontamination report.
+    Benchmark = the deterministic doc_id % 97 == 0 subset, as in
+    contamination_screen."""
+    from importpipeline_spark.operators.pretrain import contamination_attribution
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.where(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    return contamination_attribution(
+        docs, bench, "text", "doc_id", "bench_id", n=3
+    )
+
+
 def q_corpus_sample(spark, sf_dir):
     """Deterministic stratified corpus sampling (training-mix construction):
     hash-threshold keep decisions, reproducible under retries and across
@@ -765,6 +800,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_sample": q_corpus_sample,
         "neardup_components": q_neardup_components,
         "pii_scrub": q_pii_scrub,
+        "strip_boilerplate": q_strip_boilerplate,
+        "contamination_attrib": q_contamination_attrib,
     }
 
 
@@ -1271,6 +1308,84 @@ def oracle_sql() -> dict[str, str]:
                        '\\+?\\d{1,4}([ -]\\d{2,4}){3,4}\\b|\\+?\\d{1,4}([ -]\\d{3,4}){2}\\b|\\d{7,15}\\b'))
                        AS BIGINT) AS n_phones
             FROM stages2
+        """,
+        "strip_boilerplate": """
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(text), '\\s+') AS ts
+                FROM documents
+            ),
+            grams AS (  -- per-doc DISTINCT trigram (df = doc frequency)
+                SELECT DISTINCT doc_id, array_to_string(ts[i:i+2], ' ') AS g
+                FROM toks, UNNEST(range(1, len(ts) - 1)) t(i)
+            ),
+            mined AS (
+                SELECT g FROM (SELECT g, COUNT(*) AS df FROM grams GROUP BY 1)
+                WHERE df >= 3
+            ),
+            occ AS (  -- every occurrence start (1-based i -> 0-based i-1)
+                SELECT doc_id, i - 1 AS s
+                FROM toks, UNNEST(range(1, len(ts) - 1)) t(i)
+                WHERE array_to_string(ts[i:i+2], ' ') IN (SELECT g FROM mined)
+            ),
+            cov AS (
+                SELECT DISTINCT doc_id, s + d AS pos
+                FROM occ, UNNEST(range(0, 3)) r(d)
+            ),
+            tok AS (
+                SELECT doc_id, i - 1 AS pos, ts[i] AS tok
+                FROM toks, UNNEST(range(1, len(ts) + 1)) t(i)
+            ),
+            kept AS (
+                SELECT t.doc_id, t.pos, t.tok
+                FROM tok t LEFT JOIN cov c
+                  ON c.doc_id = t.doc_id AND c.pos = t.pos
+                WHERE c.pos IS NULL
+            )
+            SELECT d.doc_id,
+                   COALESCE(string_agg(k.tok, ' ' ORDER BY k.pos), '') AS stripped,
+                   CAST(len(ANY_VALUE(d.ts)) - COUNT(k.tok) AS BIGINT) AS n_removed
+            FROM toks d LEFT JOIN kept k ON k.doc_id = d.doc_id
+            GROUP BY d.doc_id
+        """,
+        "contamination_attrib": """
+            WITH bsh AS (
+                SELECT DISTINCT doc_id AS bid,
+                       array_to_string(ts[i:i+2], ' ') AS s
+                FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ts
+                      FROM documents WHERE doc_id % 97 = 0) b,
+                     UNNEST(generate_series(1, len(ts) - 2)) AS t(i)
+            ),
+            dsh AS (
+                SELECT doc_id, unnest(list_distinct(list_transform(
+                    generate_series(1, len(regexp_split_to_array(trim(text), '\\s+')) - 2),
+                    i -> array_to_string(
+                        regexp_split_to_array(trim(text), '\\s+')[i:i+2], ' ')
+                ))) AS s
+                FROM documents
+                WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 3
+            ),
+            j AS (SELECT d.doc_id, b.bid, d.s FROM dsh d JOIN bsh b USING (s)),
+            per_bench AS (
+                SELECT doc_id, bid, COUNT(*) AS cnt FROM j GROUP BY 1, 2
+            ),
+            attrib AS (
+                SELECT doc_id, bid AS top_bench_id, cnt AS top_bench_hits
+                FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                          ORDER BY cnt DESC, bid ASC) AS rn FROM per_bench)
+                WHERE rn = 1
+            ),
+            totals AS (
+                SELECT doc_id, COUNT(DISTINCT s) AS n_hits FROM j GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(t.n_hits, 0) AS BIGINT) AS n_hits,
+                   COALESCE(t.n_hits, 0) > 0 AS contaminated,
+                   CAST(a.top_bench_id AS BIGINT) AS top_bench_id,
+                   CAST(COALESCE(a.top_bench_hits, 0) AS BIGINT) AS top_bench_hits
+            FROM documents d
+            LEFT JOIN totals t ON d.doc_id = t.doc_id
+            LEFT JOIN attrib a ON d.doc_id = a.doc_id
         """,
         "corpus_sample": """
             -- sample_hash(id, seed=1): multiplier = (2654435761*(2*1+1))

@@ -352,6 +352,14 @@ barrier).
 def headline() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    _t_start = time.perf_counter()
+
+    def _mark(what: str) -> None:
+        # progress breadcrumbs on stderr (the JSON contract line stays the
+        # only stdout output) — lets a wrapped/timed-out run show where the
+        # wall clock went
+        print(f"[bench +{time.perf_counter() - _t_start:7.1f}s] {what}",
+              file=sys.stderr, flush=True)
     from importpipeline_spark.session import get_spark
     import __spark_entry__ as entry_mod
 
@@ -372,6 +380,7 @@ def headline() -> None:
     # every timed probe below is run twice and the MIN reported: this is a
     # noisy shared VM (see BENCH/BASELINE.md's measurement-window note) and
     # min-of-N is the noise-robust estimator already used by --scaling
+    _mark("warmup done")
     times = {}
     total = 0.0
     for name in HEADLINE:
@@ -384,6 +393,7 @@ def headline() -> None:
         times[name] = round(best, 3)
         total += best
 
+    _mark("headline queries done")
     # index-build throughput probe (size scaled to keep bench < ~3 min)
     n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "60000"))
     out_root = "/tmp/bench_idx"
@@ -405,6 +415,7 @@ def headline() -> None:
         sec = time.perf_counter() - t0
         build_sec = sec if build_sec is None else min(build_sec, sec)
     times["index_build"] = round(build_sec, 3)
+    _mark("index_build done")
     # crash-safe (resumable, per-segment lineage) build at the SAME shard
     # count: this is the path a long 100-TB run would use, so its overhead
     # vs the straight-through build must stay bounded. The resumable
@@ -430,6 +441,7 @@ def headline() -> None:
         build_index_resumable(spark, pages, res_root, n_shards=64)
         sec = time.perf_counter() - t0
         rb = sec if rb is None else min(rb, sec)
+    _mark("resumable pair done")
     times["index_build_docs"] = round(bdocs, 3)
     times["resumable_build"] = round(rb, 3)
     times["resumable_vs_full"] = round(rb / bdocs, 2)
@@ -463,6 +475,7 @@ def headline() -> None:
         sec = time.perf_counter() - t0
         wb = sec if wb is None else min(wb, sec)
     times["wand_batch_per_query"] = round(wb / len(WAND_QUERIES), 3)
+    _mark("wand query probes done")
     total += build_sec
 
     # driver-local serving throughput (index resident, same kernels)
@@ -478,6 +491,7 @@ def headline() -> None:
             searcher.search(WAND_QUERIES[i % len(WAND_QUERIES)], k=10)
         qps = max(qps, n_q / (time.perf_counter() - t0))
     times["serve_qps"] = round(qps, 1)
+    _mark("serve probe done")
 
     # block-max interval-sweep probes, two corpora:
     #
@@ -511,6 +525,7 @@ def headline() -> None:
             sweep_searcher.search(q, k=10)
             st = sweep_searcher.last_stats
             fracs.append(st["blocks_decoded"] / max(1, st["blocks_total"]))
+        _mark("flat sweep probe done")
         times["wand_sweep_qps_flat"] = round(sqps, 1)
         times["wand_sweep_blocks_frac_flat"] = round(sum(fracs) / len(fracs), 3)
 
@@ -526,6 +541,7 @@ def headline() -> None:
         write_index(spark, spark.read.parquet(pages_web_path), idx_web,
                     n_shards=64, write_docs=False,
                     doc_id_mode="host_locality")
+        _mark("web corpus+index built")
         web_queries = _pick_sweep_queries(idx_web)
         dec = tot = 0
         web_s = LocalSearcher(idx_web)
@@ -555,6 +571,49 @@ def headline() -> None:
     finally:
         wand_mod._EXHAUSTIVE_CUTOFF = old_cutoff
 
+    # flagship end-to-end corpus pipeline (extract → quality → boilerplate →
+    # exact dedup → near-dup → decontamination → PII → stratified sample):
+    # one timed run over a deterministic ~10k-doc subset of the bench pages
+    # (the full 60k runs ~2 min — too slow for a per-round probe), with 5%
+    # planted NEAR-dup mirrors (same text + one extra token, via the
+    # plain-text passthrough) so the LSH/components stages do real work that
+    # exact dedup cannot claim first, and a tiny benchmark slice so the
+    # decontamination join runs. Stage counts are fully deterministic and
+    # reported alongside the wall time.
+    from pyspark.sql import functions as _F
+
+    from jobs.pretrain_corpus_job import run_pipeline
+
+    _mark("web sweep probes done")
+
+    pc_pages = pages.where(_F.xxhash64("url") % 12 == 0)
+    mirrors = pc_pages.where(_F.xxhash64("url") % 120 == 0).select(
+        _F.concat(_F.col("url"), _F.lit("_mirror")).alias("url"),
+        "warc_ts",
+        _F.encode(_F.concat(_F.col("text"), _F.lit(" zzmirrortoken")),
+                  "utf-8").alias("html"),
+        "text",
+        "lang",
+    )
+    pc_input = pc_pages.unionByName(mirrors)
+    bench_path = os.path.join(out_root, "corpus_benchslice")
+    if not os.path.exists(bench_path):
+        pc_pages.where(_F.xxhash64("url") % 600 == 0).select(
+            "text"
+        ).write.parquet(bench_path)
+    pc_out = os.path.join(out_root, "corpus_probe")
+    shutil.rmtree(pc_out, ignore_errors=True)
+    t0 = time.perf_counter()
+    pc_stats = run_pipeline(
+        spark, pc_input, pc_out,
+        benchmark_path=bench_path,
+        sample={"en": 0.5, "de": 0.25, "fr": 0.125},
+        neardup_threshold=0.8,
+    )
+    times["pretrain_corpus"] = round(time.perf_counter() - t0, 3)
+    _mark("pretrain_corpus probe done")
+    shutil.rmtree(pc_out, ignore_errors=True)
+
     print(json.dumps({
         "metric": "docs_indexed_per_sec",
         "value": round(n_docs / build_sec, 1),
@@ -565,6 +624,7 @@ def headline() -> None:
         "cores": cpus,
         "bench_docs": n_docs,
         "timing": "min_of_2_per_probe",
+        "pretrain_corpus_stages": pc_stats,
     }))
     spark.stop()
 

@@ -429,7 +429,6 @@ def neardup_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 50,
-    checkpoint_every: int = 5,
 ) -> DataFrame:
     """Connected components over near-dup pairs → (id, component_id) with
     component_id = the smallest member id. This is the step between pair
@@ -444,11 +443,25 @@ def neardup_components(
     labels; fixpoint after ≤ diameter rounds (near-dup components are
     shallow — mostly pairs/stars — so a handful of rounds suffices at any
     corpus size). Each round is one join + one partial-agg groupBy on the
-    node key; lineage is truncated with localCheckpoint every
-    ``checkpoint_every`` rounds so plan depth stays bounded. The per-round
-    fixpoint check is a count on the frame the next round needs anyway
-    (same driver-loop shape as the IVF Lloyd rounds). Raises if max_iter
-    rounds don't converge (pathological chain longer than max_iter).
+    node key; the per-round fixpoint check is a count on the frame the next
+    round needs anyway (same driver-loop shape as the IVF Lloyd rounds).
+    Raises if max_iter rounds don't converge (pathological chain longer
+    than max_iter).
+
+    LOGICAL-plan truncation is load-bearing, not hygiene: ``persist()``
+    caches the physical result but Catalyst still re-analyzes the full
+    LOGICAL lineage every round, and each round references the previous
+    labels TWICE (the propagation join and the fixpoint check), so plan
+    size grows ~2^rounds × the size of ``pairs``' own lineage. Fed by a
+    real pair generator (minhash → cap → verification joins over an
+    extracted corpus) the optimizer livelocked for MINUTES of driver CPU
+    on a 6-pair input before any job was submitted (caught by jstack:
+    dag-scheduler idle, one runnable thread burning 150 s of CPU in
+    analysis). EAGER ``localCheckpoint`` at the loop boundary (cutting the
+    pair-generation lineage out of every round) and per round (cutting
+    round t out of round t+1) makes every round's analyzed plan O(1); the
+    materialization it forces is work the fixpoint count was about to do
+    anyway.
     """
     edges = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
     # no .distinct(): the per-round F.min aggregation is insensitive to
@@ -456,11 +469,11 @@ def neardup_components(
     # the largest relation
     edges = edges.unionByName(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).persist()
+    ).localCheckpoint()
     labels = (
         edges.select(F.col("a").alias("id")).distinct()
         .withColumn("label", F.col("id"))
-        .persist()
+        .localCheckpoint()
     )
     for it in range(max_iter):
         nb_min = (
@@ -476,10 +489,7 @@ def neardup_components(
                     F.col("label"), F.coalesce("nb_min", F.col("label"))
                 ).alias("label"),
             )
-        )
-        if (it + 1) % checkpoint_every == 0:
-            new_labels = new_labels.localCheckpoint(eager=False)
-        new_labels = new_labels.persist()
+        ).localCheckpoint()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")
@@ -549,4 +559,71 @@ def boilerplate_ngrams(
         grams.groupBy("ngram")
         .agg(F.count(F.lit(1)).alias("df"))
         .where(F.col("df") >= min_df)
+    )
+
+
+def strip_boilerplate(
+    df: DataFrame,
+    mined: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    ngram_col: str = "ngram",
+) -> DataFrame:
+    """Remove mined boilerplate spans from documents — the pipeline step
+    between ``boilerplate_ngrams`` (which only FINDS the spans) and dedup:
+    a token is dropped iff it is covered by at least one occurrence of a
+    mined word n-gram; surviving tokens are re-joined with single spaces.
+
+    Position-coverage semantics (rather than greedy scan-and-replace) are
+    deliberately order-independent: overlapping occurrences union their
+    covered positions, so the result is deterministic, partitioning-proof,
+    and exactly reproducible in SQL (the DuckDB oracle re-derives the same
+    covered-position set). Tokenization matches word_shingles (split on
+    ``\\s+`` after trim) so mining and stripping agree on positions.
+
+    Scale shape: one posexplode of the documents' n-gram occurrences, ONE
+    equi-join against the mined relation (broadcast when small — a real
+    boilerplate list is thousands of spans, not billions), one partial-agg
+    groupBy(doc) collecting covered starts, and one join back; the per-doc
+    token filter is a JVM higher-order function over the (small) covered
+    set. Documents with no boilerplate hit pass through the left join
+    untouched. Returns ``df``'s id + stripped ``text_col`` +
+    ``n_removed`` (token drop count for drop accounting — never silent).
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    k = F.size(toks) - (n - 1)
+    grams_pos = F.when(
+        k > 0,
+        F.transform(
+            F.sequence(F.lit(0), k - 1),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        ),
+    ).otherwise(F.array())
+    occ = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(grams_pos).alias("s", "g"),
+    )
+    hits = occ.join(
+        mined.select(F.col(ngram_col).alias("g")).distinct(), "g"
+    ).groupBy("id").agg(F.collect_set("s").alias("starts"))
+    base = df.select(F.col(id_col).alias("id"), toks.alias("ts"))
+    joined = base.join(hits, "id", "left")
+    covered = F.coalesce(
+        F.array_distinct(
+            F.flatten(
+                F.transform(
+                    F.col("starts"), lambda s: F.sequence(s, s + (n - 1))
+                )
+            )
+        ),
+        F.array().cast("array<integer>"),
+    )
+    kept = F.filter(
+        F.col("ts"), lambda x, i: ~F.array_contains(covered, i)
+    )
+    return joined.select(
+        F.col("id").alias(id_col),
+        F.array_join(kept, " ").alias(text_col),
+        (F.size("ts") - F.size(kept)).cast("long").alias("n_removed"),
     )

@@ -288,3 +288,59 @@ def contamination_hits(
             (F.coalesce(F.col("n_hits"), F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+def contamination_attribution(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_id_col: str = "bench_id",
+    n: int = 3,
+) -> DataFrame:
+    """Decontamination with PROVENANCE: per document, the total distinct
+    shared n-grams (as in ``contamination_hits``) plus WHICH benchmark item
+    matched most — the audit column a real decontamination report needs
+    ("doc X dropped because it overlaps eval item Y on k n-grams").
+
+    Returns (id, n_hits, contaminated, top_bench_id, top_bench_hits);
+    zero-hit documents keep NULL/0 attribution. Ties break deterministically
+    on (shared-count DESC, bench_id ASC). Scale shape unchanged from the
+    screen: the benchmark side is per-item-distinct shingles — still tiny,
+    still broadcast by AQE; one equi-join produces (doc, bench_id, shingle),
+    then two partial-aggregations (per (doc, bench) count, then per-doc
+    max_by + distinct-shingle total) and a left join back.
+    """
+    d_sh = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("s"),
+    )
+    b_sh = benchmark.select(
+        F.col(bench_id_col).alias("bid"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("s"),
+    ).distinct()
+    joined = d_sh.join(b_sh, "s")
+    per_bench = joined.groupBy("id", "bid").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    attrib = per_bench.groupBy("id").agg(
+        F.max_by("bid", F.struct(F.col("cnt"), (-F.col("bid")).alias("nb")))
+        .alias("top_bench_id"),
+        F.max("cnt").alias("top_bench_hits"),
+    )
+    totals = joined.select("id", "s").distinct().groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    return (
+        docs.select(F.col(id_col).alias("id"))
+        .join(totals, "id", "left")
+        .join(attrib, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) > 0).alias("contaminated"),
+            F.col("top_bench_id").cast("long").alias("top_bench_id"),
+            F.coalesce(F.col("top_bench_hits"), F.lit(0)).cast("long")
+            .alias("top_bench_hits"),
+        )
+    )

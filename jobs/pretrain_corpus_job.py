@@ -5,6 +5,8 @@ composing the engine's operators:
     extract (quarantined)            html/udfs + index/build
     → quality gate                   text/analysis + operators/pretrain
       (token bounds, repetition)
+    → boilerplate removal            operators/dedup.boilerplate_ngrams
+      (mine cross-doc spans, strip)  + strip_boilerplate
     → exact dedup                    operators/dedup.dedup_exact
     → near-dup dedup                 minhash-LSH pairs → connected
                                      components → smallest-id survivor
@@ -23,6 +25,8 @@ composing the engine's operators:
 Every stage is the operator's documented scale shape (capped LSH buckets,
 broadcast benchmark join, map-side sampling filter); the stage counts in
 the report are the same numbers a 100-TB run would log for data lineage.
+``run_pipeline`` is the library surface (bench.py times it as the
+``pretrain_corpus`` probe); ``main`` is the spark-submit CLI wrapper.
 """
 
 from __future__ import annotations
@@ -31,6 +35,153 @@ import argparse
 import json
 
 from pyspark.sql import SparkSession, functions as F
+
+
+def run_pipeline(
+    spark: SparkSession,
+    pages,
+    output: str,
+    benchmark_path: str | None = None,
+    sample: dict | None = None,
+    min_tokens: int = 5,
+    max_tokens: int = 1_000_000,
+    max_dup_word_frac: float = 0.9,
+    max_top2gram_frac: float = 0.5,
+    neardup_threshold: float = 0.8,
+    boilerplate_df_frac: float = 0.3,
+    decon_ngram: int = 8,
+    seed: int = 1,
+) -> dict:
+    """Run the whole corpus pipeline; returns the per-stage count report.
+
+    ``boilerplate_df_frac``: a word trigram present in more than this
+    fraction of the post-quality corpus is treated as boilerplate and
+    stripped from every document (0 disables the stage). The threshold is a
+    document-frequency fraction rather than an absolute count so the same
+    configuration means the same thing at any corpus size.
+
+    ``decon_ngram``: decontamination overlap length — 8 words by default
+    (the published decontamination passes use 8-13-gram overlap; trigrams
+    flag most of any same-language corpus as contaminated).
+    """
+    from importpipeline_spark.index.build import build_docs_safe
+    from importpipeline_spark.operators.dedup import (
+        boilerplate_ngrams,
+        dedup_exact,
+        minhash_lsh_pairs,
+        neardup_survivors,
+        release_cache,
+        strip_boilerplate,
+    )
+    from importpipeline_spark.operators.pretrain import (
+        contamination_hits,
+        corpus_sample,
+        repetition_signals,
+        scrub_pii,
+    )
+
+    import time as _time
+
+    stats: dict[str, int] = {}
+    _t = _time.perf_counter()
+
+    def _lap(key: str) -> None:
+        # per-stage wall time in the report (sec_*): the run report should
+        # say WHERE a slow run spent its time, not just what it kept
+        nonlocal _t
+        stats[f"sec_{key}"] = round(_time.perf_counter() - _t, 1)
+        _t = _time.perf_counter()
+
+    # 1. extraction with per-record quarantine
+    docs, errors = build_docs_safe(pages)
+    docs = docs.drop("tokens").persist()
+    stats["extracted"] = docs.count()
+    stats["quarantined"] = errors.count()
+    _lap("extract")
+
+    # 2. quality gate: token bounds + repetition signals
+    rep = repetition_signals(docs, "text", "doc_id")
+    good_ids = rep.where(
+        (F.col("n_words") >= min_tokens)
+        & (F.col("n_words") <= max_tokens)
+        & (F.col("dup_word_frac") <= max_dup_word_frac)
+        & (F.col("top_2gram_char_frac") <= max_top2gram_frac)
+    ).select("doc_id")
+    docs2 = docs.join(good_ids, "doc_id", "left_semi").persist()
+    stats["after_quality"] = docs2.count()
+    docs.unpersist()
+    _lap("quality")
+
+    # 3. boilerplate removal: mine cross-document repeated trigrams above
+    # the df-fraction threshold, strip every covered token (exact per-doc
+    # drop accounting — the report records total tokens removed)
+    if boilerplate_df_frac and stats["after_quality"]:
+        min_df = max(2, int(boilerplate_df_frac * stats["after_quality"]))
+        mined = boilerplate_ngrams(
+            docs2, "text", "doc_id", n=3, min_df=min_df
+        ).persist()
+        stats["boilerplate_ngrams"] = mined.count()
+        if stats["boilerplate_ngrams"]:
+            stripped = strip_boilerplate(docs2, mined, "text", "doc_id", n=3)
+            docs2b = (
+                docs2.drop("text")
+                .join(stripped.select("doc_id", "text", "n_removed"), "doc_id")
+                .persist()
+            )
+            stats["boilerplate_tokens_removed"] = int(
+                docs2b.agg(F.sum("n_removed")).first()[0] or 0
+            )
+            docs2b = docs2b.drop("n_removed")
+            docs2.unpersist()
+            docs2 = docs2b
+        else:
+            stats["boilerplate_tokens_removed"] = 0
+        mined.unpersist()
+        _lap("boilerplate")
+
+    # 4. exact dedup (smallest doc_id survives)
+    docs3 = dedup_exact(docs2, "text", "doc_id").persist()
+    stats["after_exact_dedup"] = docs3.count()
+    docs2.unpersist()
+    _lap("exact_dedup")
+
+    # 5. near-dup dedup: LSH candidate pairs → components → survivors
+    pairs = minhash_lsh_pairs(
+        docs3, "text", "doc_id", threshold=neardup_threshold
+    )
+    pairs = pairs.persist()
+    n_pairs = pairs.count()
+    stats["neardup_pairs"] = n_pairs
+    _lap("neardup_pairs")
+    if n_pairs:
+        docs4 = neardup_survivors(docs3, pairs).persist()
+    else:
+        docs4 = docs3
+    stats["after_neardup"] = docs4.count()
+    _lap("neardup_components")
+    release_cache(pairs)
+    pairs.unpersist()
+
+    # 6. optional decontamination against a benchmark/eval table
+    if benchmark_path:
+        bench = spark.read.parquet(benchmark_path)
+        hits = contamination_hits(docs4, bench, "text", "doc_id",
+                                  n=decon_ngram)
+        clean_ids = hits.where(~F.col("contaminated")).select("doc_id")
+        docs5 = docs4.join(clean_ids, "doc_id", "left_semi").persist()
+        stats["after_decontamination"] = docs5.count()
+        _lap("decontamination")
+    else:
+        docs5 = docs4
+
+    # 7. PII scrub (map-side), 8. optional stratified sampling
+    out = docs5.withColumn("text", scrub_pii(F.col("text")))
+    if sample:
+        out = corpus_sample(out, sample, "lang", "doc_id", seed=seed)
+    out.write.mode("overwrite").parquet(output)
+    stats["written"] = spark.read.parquet(output).count()
+    _lap("scrub_sample_write")
+    return stats
 
 
 def main() -> None:
@@ -47,84 +198,30 @@ def main() -> None:
     ap.add_argument("--max-dup-word-frac", type=float, default=0.9)
     ap.add_argument("--max-top2gram-frac", type=float, default=0.5)
     ap.add_argument("--neardup-threshold", type=float, default=0.8)
+    ap.add_argument("--boilerplate-df-frac", type=float, default=0.3,
+                    help="strip trigrams present in more than this fraction "
+                         "of documents (0 disables)")
+    ap.add_argument("--decon-ngram", type=int, default=8,
+                    help="decontamination word n-gram overlap length")
     ap.add_argument("--seed", type=int, default=1)
     args = ap.parse_args()
 
     spark = SparkSession.builder.appName("importpipeline-pretrain-corpus").getOrCreate()
-    from importpipeline_spark.index.build import build_docs_safe
-    from importpipeline_spark.operators.dedup import (
-        dedup_exact,
-        minhash_lsh_pairs,
-        neardup_survivors,
-        release_cache,
+    stats = run_pipeline(
+        spark,
+        spark.read.parquet(args.input),
+        args.output,
+        benchmark_path=args.benchmark,
+        sample=json.loads(args.sample) if args.sample else None,
+        min_tokens=args.min_tokens,
+        max_tokens=args.max_tokens,
+        max_dup_word_frac=args.max_dup_word_frac,
+        max_top2gram_frac=args.max_top2gram_frac,
+        neardup_threshold=args.neardup_threshold,
+        boilerplate_df_frac=args.boilerplate_df_frac,
+        decon_ngram=args.decon_ngram,
+        seed=args.seed,
     )
-    from importpipeline_spark.operators.pretrain import (
-        contamination_hits,
-        corpus_sample,
-        repetition_signals,
-        scrub_pii,
-    )
-
-    stats: dict[str, int] = {}
-    pages = spark.read.parquet(args.input)
-
-    # 1. extraction with per-record quarantine
-    docs, errors = build_docs_safe(pages)
-    docs = docs.drop("tokens").persist()
-    stats["extracted"] = docs.count()
-    stats["quarantined"] = errors.count()
-
-    # 2. quality gate: token bounds + repetition signals
-    rep = repetition_signals(docs, "text", "doc_id")
-    good_ids = rep.where(
-        (F.col("n_words") >= args.min_tokens)
-        & (F.col("n_words") <= args.max_tokens)
-        & (F.col("dup_word_frac") <= args.max_dup_word_frac)
-        & (F.col("top_2gram_char_frac") <= args.max_top2gram_frac)
-    ).select("doc_id")
-    docs2 = docs.join(good_ids, "doc_id", "left_semi").persist()
-    stats["after_quality"] = docs2.count()
-    docs.unpersist()
-
-    # 3. exact dedup (smallest doc_id survives)
-    docs3 = dedup_exact(docs2, "text", "doc_id").persist()
-    stats["after_exact_dedup"] = docs3.count()
-    docs2.unpersist()
-
-    # 4. near-dup dedup: LSH candidate pairs → components → survivors
-    pairs = minhash_lsh_pairs(
-        docs3, "text", "doc_id", threshold=args.neardup_threshold
-    )
-    pairs = pairs.persist()
-    n_pairs = pairs.count()
-    stats["neardup_pairs"] = n_pairs
-    if n_pairs:
-        docs4 = neardup_survivors(docs3, pairs).persist()
-    else:
-        docs4 = docs3
-    stats["after_neardup"] = docs4.count()
-    release_cache(pairs)
-    pairs.unpersist()
-
-    # 5. optional decontamination against a benchmark/eval table
-    if args.benchmark:
-        bench = spark.read.parquet(args.benchmark)
-        hits = contamination_hits(docs4, bench, "text", "doc_id")
-        clean_ids = hits.where(~F.col("contaminated")).select("doc_id")
-        docs5 = docs4.join(clean_ids, "doc_id", "left_semi").persist()
-        stats["after_decontamination"] = docs5.count()
-    else:
-        docs5 = docs4
-
-    # 6. PII scrub (map-side), 7. optional stratified sampling
-    out = docs5.withColumn("text", scrub_pii(F.col("text")))
-    if args.sample:
-        out = corpus_sample(
-            out, json.loads(args.sample), "lang", "doc_id", seed=args.seed
-        )
-    out.write.mode("overwrite").parquet(args.output)
-    stats["written"] = spark.read.parquet(args.output).count()
-
     print(json.dumps({"job": "pretrain_corpus", **stats}))
     spark.stop()
 

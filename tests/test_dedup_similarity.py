@@ -339,6 +339,79 @@ def test_boilerplate_ngrams_vs_pandas(spark):
     assert ("a b c", 3) in got  # doc 1 contributed exactly once
 
 
+def test_strip_boilerplate_planted(spark):
+    """Position-coverage removal: overlapping occurrences union, non-hit
+    docs pass through untouched, short docs are safe, and the drop count is
+    exact."""
+    from importpipeline_spark.operators.dedup import (
+        boilerplate_ngrams,
+        strip_boilerplate,
+    )
+
+    bp = "subscribe to our newsletter"
+    rows = [
+        (1, f"{bp} real content one"),
+        (2, f"more real content {bp}"),
+        (3, f"{bp} middle text {bp}"),   # two occurrences in one doc
+        (4, "totally clean document text"),
+        (5, "sh"),                        # shorter than n
+        (6, "subscribe to our subscribe to our newsletter"),  # overlap
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    mined = boilerplate_ngrams(df, n=4, min_df=2)
+    assert {r.ngram for r in mined.collect()} == {bp}
+    got = {r.doc_id: r for r in
+           strip_boilerplate(df, mined, n=4).collect()}
+    assert got[1].text == "real content one" and got[1].n_removed == 4
+    assert got[2].text == "more real content" and got[2].n_removed == 4
+    assert got[3].text == "middle text" and got[3].n_removed == 8
+    assert got[4].text == "totally clean document text"
+    assert got[4].n_removed == 0
+    assert got[5].text == "sh" and got[5].n_removed == 0
+    # doc 6: "subscribe to our subscribe to our newsletter" — the mined
+    # 4-gram occurs once starting at token 3; tokens 3..6 drop, the leading
+    # "subscribe to our" (not followed by "newsletter") survives
+    assert got[6].text == "subscribe to our" and got[6].n_removed == 4
+    assert set(got) == {1, 2, 3, 4, 5, 6}
+
+
+def test_contamination_attribution_edges(spark):
+    """Provenance: per-doc best-matching benchmark item, deterministic
+    tie-break (count DESC, bench_id ASC), NULL attribution for clean docs,
+    totals identical to contamination_hits."""
+    from importpipeline_spark.operators.pretrain import (
+        contamination_attribution,
+        contamination_hits,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "p q r s t u"),      # shares 2 grams w/ bench 10, 1 w/ 20
+         (2, "x y z w"),          # clean
+         (3, "p q r")],           # one gram, ties bench 10 vs 30 → min id
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(10, "p q r s zz"),      # grams: p q r / q r s / r s zz
+         (20, "s t u zz2"),       # grams: s t u / t u zz2
+         (30, "p q r")],          # gram: p q r
+        "bench_id long, text string",
+    )
+    got = {r.doc_id: r for r in contamination_attribution(
+        docs, bench, n=3).collect()}
+    # doc 1 distinct grams: pqr qrs rst stu — pqr+qrs in b10 (2), stu in
+    # b20 (1), pqr in b30 (1) → n_hits=3 (pqr, qrs, stu), top = b10
+    assert got[1].n_hits == 3 and got[1].contaminated
+    assert got[1].top_bench_id == 10 and got[1].top_bench_hits == 2
+    assert got[2].n_hits == 0 and not got[2].contaminated
+    assert got[2].top_bench_id is None and got[2].top_bench_hits == 0
+    # doc 3: "p q r" matches b10 and b30 with count 1 each → smallest id
+    assert got[3].top_bench_id == 10 and got[3].top_bench_hits == 1
+    # totals agree with the screen variant
+    screen = {r.doc_id: r.n_hits for r in contamination_hits(
+        docs, bench, n=3).collect()}
+    assert {d: r.n_hits for d, r in got.items()} == screen
+
+
 def test_neardup_components_and_survivors(spark):
     """Min-label propagation over near-dup pairs: chains (multi-round
     propagation), stars, triangles — and the per-component KEEP decision."""

@@ -163,6 +163,49 @@ def test_pii_scrub_and_counts(spark):
     assert (got[3].c.n_emails, got[3].c.n_ips, got[3].c.n_phones) == (2, 1, 0)
 
 
+def test_pipeline_boilerplate_stage(spark, tmp_path):
+    """run_pipeline's boilerplate stage: a footer present in 60% of pages
+    is mined at the 30% df-fraction threshold and stripped from every
+    document, with exact token drop accounting; the clean docs survive
+    byte-identical. Pages use the plain-text passthrough (html == text
+    bytes), so extraction is the identity."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))))
+    from jobs.pretrain_corpus_job import run_pipeline
+
+    footer = "subscribe to our newsletter today"
+    rows = []
+    for i in range(50):
+        # body fully unique per doc so ONLY the footer's trigrams repeat
+        body = f"unique{i} body{i} words{i} number{i} alpha{i} beta{i} gamma{i} delta{i}"
+        text = f"{body} {footer}" if i % 5 < 3 else body
+        rows.append((f"https://h{i % 7}.example/p/{i}", text))
+    pages = spark.createDataFrame(rows, "url string, text string").select(
+        "url",
+        F.current_timestamp().alias("warc_ts"),
+        F.encode("text", "utf-8").alias("html"),
+        F.lit("en").alias("lang"),
+    )
+    out = str(tmp_path / "corpus")
+    stats = run_pipeline(spark, pages, out, boilerplate_df_frac=0.3,
+                         neardup_threshold=0.95)
+    assert stats["extracted"] == 50
+    # footer in 30/50 docs = 60% > 30%: its 3 trigrams are mined
+    assert stats["boilerplate_ngrams"] == 3
+    assert stats["boilerplate_tokens_removed"] == 30 * 5
+    corpus = {r.url: r.text for r in spark.read.parquet(out).collect()}
+    assert len(corpus) == 50
+    for url, text in corpus.items():
+        assert "subscribe" not in text and "newsletter" not in text
+    # a doc that never had the footer is untouched
+    assert corpus["https://h0.example/p/35"] == (
+        "unique35 body35 words35 number35 alpha35 beta35 gamma35 delta35"
+    )
+
+
 def test_pii_phone_no_false_positives(spark):
     """The phone pattern must redact phone SHAPES, not every digit run: a
     measurement table, single-digit sequences, dates, and hyphenated ISBNs

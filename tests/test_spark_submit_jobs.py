@@ -190,6 +190,10 @@ def test_spark_submit_pretrain_corpus_pipeline(spark, tmp_path):
     assert stats["extracted"] == 220
     assert stats["quarantined"] == 0
     assert stats["after_quality"] == 220  # synthetic docs pass the gate
+    # no trigram reaches the 30% df threshold on the uniform corpus — the
+    # stage must report its (empty) mining honestly, not skip silently
+    assert stats["boilerplate_ngrams"] == 0
+    assert stats["boilerplate_tokens_removed"] == 0
     assert stats["after_exact_dedup"] == 200  # 20 mirrors collapsed
     assert stats["after_neardup"] <= stats["after_exact_dedup"]
     # the 5 benchmark-source docs (at least) are contaminated and dropped
