@@ -81,6 +81,10 @@ def _pick_sweep_queries(idx_root: str) -> dict:
     narrow_w = 1 << 41  # ≲ two host ranges under the 40-bit locality field
     narrow = [t for t in synth if rng_of(t)[1] - rng_of(t)[0] < narrow_w]
     scattered = [t for t in synth if t not in set(narrow)]
+    if not narrow:
+        # non-locality index (hash ids / uniform corpus): fall back to df
+        # picks so the probe still runs — it just won't prune
+        narrow = synth
 
     def pick(cands, target):
         return min(cands, key=lambda t: (abs(tdf[t] - target), t))
@@ -323,6 +327,13 @@ The crash-safe path scales with cores because every phase is either a
 K-parallel cogroup batch or a concurrently-submitted write; its lineage
 commits are per-batch driver-side renames (O(n_shards) file ops, no Spark
 barrier).
+
+Round-4 path changes folded the per-batch counter job and the dictionary's
+full posting re-read into the encode pass itself (sidecar counters + cached
+tf aggregation): absolute throughput rose at both levels and the crash-safe
+overhead vs the straight-through build is now ~1.0x (bench probe
+resumable_vs_full). The ceiling-normalized efficiency is the comparable
+figure across measurement windows.
 """
     md_path = os.path.join(REPO, "BENCH", "BASELINE.md")
     if os.path.exists(md_path):
