@@ -1296,7 +1296,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id,
                    regexp_replace(after_ip,
-                       '\\+?\\d{1,4}([ -]\\d{2,4}){3,4}\\b|\\+?\\d{1,4}([ -]\\d{3,4}){2}\\b|\\d{7,15}\\b',
+                       '\\+?\\b\\d{1,4}([ -]\\d{2,4}){2,3}[ -]\\d{3,4}\\b|\\+\\d{1,4}([ -]\\d{3,4}){2}\\b|\\b\\d{1,4}(-\\d{3,4}){2}\\b|\\d{7,15}\\b',
                                   '<PHONE>', 'g') AS scrubbed,
                    CAST(len(regexp_extract_all(text,
                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
@@ -1305,7 +1305,7 @@ def oracle_sql() -> dict[str, str]:
                        '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))
                        AS BIGINT) AS n_ips,
                    CAST(len(regexp_extract_all(after_ip,
-                       '\\+?\\d{1,4}([ -]\\d{2,4}){3,4}\\b|\\+?\\d{1,4}([ -]\\d{3,4}){2}\\b|\\d{7,15}\\b'))
+                       '\\+?\\b\\d{1,4}([ -]\\d{2,4}){2,3}[ -]\\d{3,4}\\b|\\+\\d{1,4}([ -]\\d{3,4}){2}\\b|\\b\\d{1,4}(-\\d{3,4}){2}\\b|\\d{7,15}\\b'))
                        AS BIGINT) AS n_phones
             FROM stages2
         """,

@@ -78,9 +78,15 @@ def _pick_sweep_queries(idx_root: str) -> dict:
     # generated (content) words end in a digit — excludes cross-language
     # stopwords from the mid/rare picks
     synth = [t for t in tdf if t and t[-1].isdigit() and t in s._t_start]
+    if not synth:
+        # real-text corpus with no generated vocabulary: every term is a
+        # candidate (df targets still pick discriminative terms)
+        synth = [t for t in tdf if t in s._t_start]
     narrow_w = 1 << 41  # ≲ two host ranges under the 40-bit locality field
     narrow = [t for t in synth if rng_of(t)[1] - rng_of(t)[0] < narrow_w]
-    scattered = [t for t in synth if t not in set(narrow)]
+    narrow_set = set(narrow)  # hoisted: an in-comprehension set() rebuild
+    # was O(n²) — measured ~50 s of driver CPU at the 60k bench's 35k terms
+    scattered = [t for t in synth if t not in narrow_set]
     if not narrow:
         # non-locality index (hash ids / uniform corpus): fall back to df
         # picks so the probe still runs — it just won't prune
@@ -584,8 +590,8 @@ def headline() -> None:
 
     # flagship end-to-end corpus pipeline (extract → quality → boilerplate →
     # exact dedup → near-dup → decontamination → PII → stratified sample):
-    # one timed run over a deterministic ~10k-doc subset of the bench pages
-    # (the full 60k runs ~2 min — too slow for a per-round probe), with 5%
+    # one timed run over a deterministic ~5k-doc subset of the bench pages
+    # (the full 60k runs ~2 min — too slow for a per-round probe), with ~10%
     # planted NEAR-dup mirrors (same text + one extra token, via the
     # plain-text passthrough) so the LSH/components stages do real work that
     # exact dedup cannot claim first, and a tiny benchmark slice so the

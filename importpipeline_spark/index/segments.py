@@ -108,7 +108,14 @@ def _encode_shard_with_counters(tf_pdf, dl_pdf, counters_dir: str):
     count, killing the former up-front per-shard count job too). Content is
     deterministic and the rename is atomic, so task retries and speculative
     duplicates are harmless; the tmp name carries the pid so two concurrent
-    attempts never collide mid-write."""
+    attempts never collide mid-write.
+
+    Filesystem assumption: the sidecars land under the index root, which
+    must be a filesystem BOTH driver and executors see — the same contract
+    this layout already requires everywhere (the driver os.rename()s
+    executor-written parquet into place at every segment commit), so no new
+    deployment constraint. _read_counters refuses to silently zero a
+    segment that visibly produced postings."""
     out = _encode_shard(tf_pdf, dl_pdf)
     shard = None
     if not tf_pdf.empty:
@@ -130,9 +137,23 @@ def _encode_shard_with_counters(tf_pdf, dl_pdf, counters_dir: str):
     return out
 
 
-def _read_counters(counters_dir: str, segment_id: int) -> dict:
+def _read_counters(counters_dir: str, segment_id: int,
+                   seg_path: str | None = None) -> dict:
     p = os.path.join(counters_dir, f"shard_{segment_id}.json")
     if not os.path.exists(p):
+        if seg_path is not None and any(
+            f.endswith(".parquet") for f in os.listdir(seg_path)
+        ):
+            # the segment demonstrably produced postings but its sidecar is
+            # missing → the executors wrote somewhere the driver can't see.
+            # All-zero lineage counters would be silent corruption of the
+            # run report; fail loudly instead.
+            raise RuntimeError(
+                f"segment {segment_id} has postings but no counter sidecar "
+                f"at {p}; the index root must be a filesystem shared by "
+                "driver and executors (the same requirement the segment "
+                "file renames already impose)"
+            )
         # doc range with no group at all (no docs, no postings)
         return {"blocks": 0, "postings": 0, "terms": 0, "n_docs": 0}
     with open(p) as f:
@@ -192,6 +213,7 @@ def build_index_resumable(
     fail_after_segment: int | None = None,
     dict_files: int = 4,
     batch_size: int | None = None,
+    doc_id_mode: str = "hash",
 ) -> PhysicalIndex:
     """Segmented, resumable physical index build.
 
@@ -217,6 +239,11 @@ def build_index_resumable(
                 f"{prev.get('input_snapshot')!r}, not {input_snapshot!r}; "
                 "use update_index for incremental changes or a fresh root"
             )
+        if prev.get("doc_id_mode", "hash") != doc_id_mode:
+            raise ValueError(
+                f"index at {root} was built with doc_id_mode="
+                f"{prev.get('doc_id_mode', 'hash')!r}, not {doc_id_mode!r}"
+            )
 
     docs_cached = None
     docs = None
@@ -228,7 +255,7 @@ def build_index_resumable(
         # ONE fused Arrow pass (extract+tokenize+tf) with quarantine — the
         # same kernel shape as write_index; the shared raw parent is what
         # gets cached so docs and errors writes don't re-extract
-        docs, errors, raw = build_docs_and_tf_safe(pages)
+        docs, errors, raw = build_docs_and_tf_safe(pages, doc_id_mode)
         raw = raw.persist()
         docs_cached = raw
         # the four phase-A outputs are independent jobs over the cached raw
@@ -293,6 +320,7 @@ def build_index_resumable(
             b=B,
             n_shards=n_shards,
             block_size=BLOCK_SIZE,
+            doc_id_mode=doc_id_mode,
             run_id=run_id,
             input_snapshot=input_snapshot,
             # run-level error counter (ImportReport.cs:92-209 'errors')
@@ -385,7 +413,7 @@ def build_index_resumable(
                     os.rename(src, path)
                 else:  # doc range with no postings at all
                     os.makedirs(path, exist_ok=True)
-                m = _read_counters(counters_dir, seg)
+                m = _read_counters(counters_dir, seg, seg_path=path)
                 _append_lineage(
                     root,
                     {
@@ -667,7 +695,13 @@ def update_index(
     old_docs = spark.read.parquet(docs_path)
 
     changed_pages = incremental_pages(new_pages, old_docs)
-    changed_docs, errors = build_docs_safe(changed_pages)
+    # derive changed docs' ids the way THIS index was built (stats records
+    # the mode): a hash-id derivation over a host_locality index would
+    # re-index every changed url under a second id and strand the old
+    # postings un-rebuilt
+    changed_docs, errors = build_docs_safe(
+        changed_pages, stats.get("doc_id_mode", "hash")
+    )
     changed_docs = changed_docs.drop("tokens").persist()
     # quarantine records are appended BEFORE the no-change early return:
     # if every changed page failed extraction, changed_docs is empty but the
@@ -824,6 +858,7 @@ def init_published_index(
     n_shards: int = 16,
     run_id: str = "run1",
     input_snapshot: str = "snap1",
+    doc_id_mode: str = "hash",
 ) -> PhysicalIndex:
     """First generation: full build into gen=<stamp>/ then publish."""
     from ..sinks.writers import publish_generation
@@ -832,7 +867,7 @@ def init_published_index(
     gen = _new_gen_path(store_root)
     pidx = build_index_resumable(
         spark, pages, gen, n_shards=n_shards, run_id=run_id,
-        input_snapshot=input_snapshot,
+        input_snapshot=input_snapshot, doc_id_mode=doc_id_mode,
     )
     publish_generation(store_root, gen)
     return pidx

@@ -278,6 +278,10 @@ def write_index(
         "b": B,
         "n_shards": n_shards,
         "block_size": BLOCK_SIZE,
+        # recorded so every later writer (update/delete/streaming ingest)
+        # derives ids the same way — a mode mismatch would index the same
+        # url under two ids and silently strand stale postings
+        "doc_id_mode": doc_id_mode,
     }
     os.makedirs(root, exist_ok=True)
     with open(os.path.join(root, "stats.json"), "w") as f:

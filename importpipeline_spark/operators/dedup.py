@@ -154,19 +154,31 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return df.join(w, id_col, "leftsemi")
 
 
+def word_tokens(text_col):
+    """The dedup-family tokenization: split on ``\\s+`` after trim. The ONE
+    definition every shingle-position consumer shares — mining and stripping
+    must agree on token positions byte-for-byte."""
+    return F.split(F.trim(text_col), r"\s+")
+
+
+def word_grams(text_col, n: int = 3):
+    """All word n-grams in order WITH multiplicity (position i holds the
+    gram starting at token i) — the positional base word_shingles and
+    strip_boilerplate both build on."""
+    toks = word_tokens(text_col)
+    k = F.size(toks) - (n - 1)
+    return F.when(
+        k > 0,
+        F.transform(
+            F.sequence(F.lit(0), k - 1),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        ),
+    ).otherwise(F.array())
+
+
 def word_shingles(text_col, n: int = 3):
     """Word n-gram shingles of a whitespace-tokenized text column (distinct)."""
-    toks = F.split(F.trim(text_col), r"\s+")
-    k = F.size(toks) - (n - 1)
-    return F.array_distinct(
-        F.when(
-            k > 0,
-            F.transform(
-                F.sequence(F.lit(0), k - 1),
-                lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
-            ),
-        ).otherwise(F.array())
-    )
+    return F.array_distinct(word_grams(text_col, n))
 
 
 def ngram_jaccard_pairs(
@@ -508,6 +520,13 @@ def neardup_components(
         )
     edges.unpersist()
     out = labels.select(F.col("id"), F.col("label").alias("component_id"))
+    # NOTE on reclamation: unpersist() is a no-op for localCheckpoint'd
+    # frames (their blocks live outside the CacheManager); each round's
+    # superseded checkpoint is reclaimed by Spark's ContextCleaner once the
+    # Python reference drops (promptly — refcounted py4j handles), so at
+    # most two checkpoints (edges + current labels) are live at any time.
+    # cached_deps still carries the final labels so release_cache keeps its
+    # uniform contract; dropping the result reference is what frees it.
     out.cached_deps = [labels]
     return out
 
@@ -591,18 +610,10 @@ def strip_boilerplate(
     untouched. Returns ``df``'s id + stripped ``text_col`` +
     ``n_removed`` (token drop count for drop accounting — never silent).
     """
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    k = F.size(toks) - (n - 1)
-    grams_pos = F.when(
-        k > 0,
-        F.transform(
-            F.sequence(F.lit(0), k - 1),
-            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
-        ),
-    ).otherwise(F.array())
+    toks = word_tokens(F.col(text_col))
     occ = df.select(
         F.col(id_col).alias("id"),
-        F.posexplode(grams_pos).alias("s", "g"),
+        F.posexplode(word_grams(F.col(text_col), n)).alias("s", "g"),
     )
     hits = occ.join(
         mined.select(F.col(ngram_col).alias("g")).distinct(), "g"

@@ -146,20 +146,24 @@ def repetition_signals(
 PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
 # Phone-like shapes only — NOT any digit/space run (the old `\+?\d[\d -]{7,}\d`
-# redacted measurement tables, ISBN lists, and "1 2 3 4 5 6 7 8 9"). Three
+# redacted measurement tables, ISBN lists, and "1 2 3 4 5 6 7 8 9"). Four
 # alternatives, leftmost-first in both Java and RE2 (verified byte-identical
-# on both engines):
-#   1. grouped: 1-4 digit lead + 3-4 separator-delimited 2-4 digit groups
-#      ("+44 20 7946 0958", "0171-555-0123") — ≥7 digits total;
-#   2. grouped short: lead + exactly 2 groups of 3-4 digits ("+1 555 010");
-#   3. plain runs of 7-15 digits ("5551234567"); longer runs lose only their
+# on both engines, 19-case suite incl. timestamps/ISBNs/thousand-separators):
+#   1. 4-5 segments whose LAST group has 3-4 digits ("+44 20 7946 0958") —
+#      the last-group constraint is what rejects date+time stamps
+#      ("2026-08-17 16:30:00" would otherwise parse as lead+3 groups);
+#   2. plus-led 3-segment ("+1 555 010");
+#   3. hyphen-separated 3-segment ("0171-555-0123") — requiring '+' or '-'
+#      here is what rejects spaced thousand-separators ("1 234 567");
+#   4. plain runs of 7-15 digits ("5551234567"); longer runs lose their
 #      15-digit suffix (the identifier is still destroyed).
-# Single-digit sequences ("1 2 3"), 2-group 2-digit shapes (dates
-# "2026-08-17"), and hyphenated ISBNs no longer match — pinned by the
-# false-positive test in tests/test_pretrain.py.
+# Trade-offs (documented, deliberate): all-2-digit-group formats (FR
+# "01 23 45 67 89") and space-separated triplets without '+' are NOT
+# redacted — they are indistinguishable from numeric prose.
 PII_PHONE_RE = (
-    r"\+?\d{1,4}(?:[ -]\d{2,4}){3,4}\b"
-    r"|\+?\d{1,4}(?:[ -]\d{3,4}){2}\b"
+    r"\+?\b\d{1,4}(?:[ -]\d{2,4}){2,3}[ -]\d{3,4}\b"
+    r"|\+\d{1,4}(?:[ -]\d{3,4}){2}\b"
+    r"|\b\d{1,4}(?:-\d{3,4}){2}\b"
     r"|\d{7,15}\b"
 )
 

@@ -33,11 +33,16 @@ def stream_pages(spark: SparkSession, input_path: str) -> DataFrame:
     )
 
 
-def stream_docs(pages_stream: DataFrame) -> DataFrame:
-    """Streaming extraction: the same Arrow UDFs as the batch build."""
+def stream_docs(pages_stream: DataFrame, doc_id_mode: str = "hash") -> DataFrame:
+    """Streaming extraction: the same Arrow UDFs as the batch build.
+    ``doc_id_mode`` must match the target index's recorded mode
+    (stats.json ``doc_id_mode``) — mixing id schemes in one store indexes
+    the same url under two ids."""
+    from ..index.build import doc_id_expr
+
     return (
         pages_stream.withColumn("text", html_to_text_udf(F.col("html")))
-        .withColumn("doc_id", F.xxhash64(F.col("url")))
+        .withColumn("doc_id", doc_id_expr(doc_id_mode))
         .withColumn("tokens", tokenize_udf(F.col("text")))
         .withColumn(
             "doc_len",

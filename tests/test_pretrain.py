@@ -216,9 +216,12 @@ def test_pii_phone_no_false_positives(spark):
     survive = [
         "1 2 3 4 5 6 7 8 9",
         "date 2026-08-17 here",
+        "ts 2026-08-17 16:30:00 end",   # datetime: last group must be 3-4 digits
         "isbn 978-3-16-148410-0 ok",
         "readings: 12.5 13.7 14.9 16.02",
         "page 1 22 333",
+        "pop 1 234 567 users",          # thousand-separated: no '+' / '-'
+        "run 12 34 56 78 ok",           # all-2-digit groups (FR-style trade)
     ]
     redact = [
         "+44 20 7946 0958",       # grouped international

@@ -134,6 +134,46 @@ def test_web_sweep_prunes_and_stays_bit_identical(web_index, monkeypatch):
     assert fracs["head_only"] <= 1.0
 
 
+def test_host_locality_incremental_update_consistent(spark, tmp_path):
+    """Incremental update over a host_locality index must derive the
+    changed docs' ids with the INDEX's recorded mode (stats.json
+    doc_id_mode) — a hash-id derivation would re-index the changed url
+    under a second id, strand the old postings un-rebuilt, and keep serving
+    the stale doc (the silent-corruption path this regression pins)."""
+    from importpipeline_spark.index.segments import update_index
+    from importpipeline_spark.index.store import write_index
+    from importpipeline_spark.index.wand import bm25_topk_wand
+
+    root = str(tmp_path / "upd_idx")
+    pages = gen_pages_df(spark, 600, seed=13, partitions=4, profile="web")
+    write_index(spark, pages, root, n_shards=4, write_docs=True,
+                doc_id_mode="host_locality")
+
+    target_url = pages.select("url").orderBy("url").first().url
+    changed = pages.where(F.col("url") == target_url).select(
+        "url",
+        (F.col("warc_ts") + F.expr("INTERVAL 1 DAY")).alias("warc_ts"),
+        F.encode(F.concat(F.col("text"), F.lit(" zzuniqtoken")),
+                 "utf-8").alias("html"),
+        "text", "lang",
+    )
+    new_pages = pages.where(F.col("url") != target_url).unionByName(changed)
+    pidx = update_index(spark, root, new_pages, run_id="u1",
+                        input_snapshot="s2")
+
+    docs = spark.read.parquet(pidx.docs_path)
+    assert docs.count() == 600                      # replaced, not duplicated
+    assert docs.select("doc_id").distinct().count() == 600
+    stored_id = docs.where(F.col("url") == target_url).first().doc_id
+    locality_id = (
+        spark.createDataFrame([(target_url,)], "url string")
+        .select(doc_id_expr("host_locality").alias("d")).first().d
+    )
+    assert stored_id == locality_id  # updated doc kept its locality id
+    got = bm25_topk_wand(spark, pidx, "zzuniqtoken", k=5).collect()
+    assert [r.doc_id for r in got] == [stored_id]
+
+
 def test_uniform_profile_unchanged(spark):
     """The uniform profile's bytes must not drift when the web profile
     evolves — round-1/2 goldens and fixtures depend on it."""
