@@ -747,6 +747,26 @@ def q_contamination_attrib(spark, sf_dir):
     )
 
 
+def q_token_budget(spark, sf_dir):
+    """Training-mix final cut: keep the longest documents until a 10k-token
+    budget is exhausted (a strict subset at every SF — the whole sf0.01
+    corpus is ~27k tokens, so a larger budget would keep everything and
+    prove nothing) (cumulative-prefix semantics, n_tokens DESC /
+    doc_id ASC order). The global running sum is computed as a distributed
+    prefix sum (range partition → per-partition totals → broadcast offsets
+    → partition-local windows) — never a single-partition global window."""
+    from importpipeline_spark.operators.pretrain import select_token_budget
+
+    docs = _t(spark, sf_dir, "documents")
+    withtok = docs.select(
+        "doc_id", token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    out = select_token_budget(
+        withtok, 10_000, "n_tokens", "n_tokens", "doc_id", num_partitions=32
+    )
+    return out.select("doc_id", "n_tokens")
+
+
 def q_corpus_sample(spark, sf_dir):
     """Deterministic stratified corpus sampling (training-mix construction):
     hash-threshold keep decisions, reproducible under retries and across
@@ -802,6 +822,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "strip_boilerplate": q_strip_boilerplate,
         "contamination_attrib": q_contamination_attrib,
+        "token_budget": q_token_budget,
     }
 
 
@@ -1386,6 +1407,24 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             LEFT JOIN totals t ON d.doc_id = t.doc_id
             LEFT JOIN attrib a ON d.doc_id = a.doc_id
+        """,
+        "token_budget": """
+            WITH t AS (
+                SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                       END AS n_tokens
+                FROM documents
+            ),
+            c AS (
+                SELECT doc_id, n_tokens,
+                       SUM(n_tokens) OVER (
+                           ORDER BY n_tokens DESC, doc_id ASC
+                           ROWS UNBOUNDED PRECEDING) AS cum
+                FROM t
+            )
+            SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens
+            FROM c WHERE cum <= 10000
         """,
         "corpus_sample": """
             -- sample_hash(id, seed=1): multiplier = (2654435761*(2*1+1))

@@ -23,6 +23,7 @@ NON-distinct — repetition is about multiplicity).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
 
 from .dedup import word_shingles
 
@@ -251,6 +252,78 @@ def corpus_sample(
         keep = F.when(cond, float(v)) if keep is None else keep.when(cond, float(v))
     keep = keep.otherwise(0.0) if keep is not None else F.lit(0.0)
     return df.where(sample_hash(F.col(id_col), seed) < keep)
+
+
+def select_token_budget(
+    df: DataFrame,
+    budget_tokens: int,
+    n_tokens_col: str,
+    order_col: str,
+    id_col: str = "doc_id",
+    num_partitions: int = 64,
+) -> DataFrame:
+    """Training-mix construction's final cut: keep the highest-priority
+    documents whose CUMULATIVE token count fits ``budget_tokens`` — i.e.
+    the prefix of the (``order_col`` DESC, ``id_col`` ASC) global order
+    where the running Σ ``n_tokens_col`` stays ≤ budget.
+
+    The naive formulation is a global running sum — a window with a global
+    ORDER BY, which Spark executes in ONE partition (the single-partition
+    sort this codebase bans). This is the classic distributed prefix-sum
+    instead:
+
+      1. ``repartitionByRange`` on the priority order (total order — the id
+         tiebreak means no cross-partition ties);
+      2. one small job: per-range-partition token totals → driver computes
+         the P exclusive prefix offsets (P numbers, not data);
+      3. per-partition running sum via a window PARTITIONED by the range
+         partition id (bounded partitions, never global) + the broadcast
+         offset → the global cumulative value, map-side.
+
+    The kept set is deterministic across cluster sizes, retries, and range-
+    sampling randomness: range boundaries only decide WHERE the prefix sum
+    is split, never its value (the order is total, so every row's global
+    cumulative Σ is partition-placement-independent). Keep rule: a doc
+    survives iff its own cumulative total fits entirely (Σ ≤ budget) —
+    budgets compose: a smaller budget's selection is a strict prefix of a
+    larger one's.
+    """
+    # persist BEFORE the totals job: repartitionByRange SAMPLES its
+    # boundaries, so an unpersisted plan could be re-sampled differently
+    # between the totals job and the final query — offsets computed for one
+    # partitioning applied to another would corrupt the cumulative sums.
+    # The cache pins one materialized partitioning for both consumers
+    # (released via release_cache(result) after materialization).
+    d = df.repartitionByRange(
+        num_partitions, F.col(order_col).desc(), F.col(id_col).asc()
+    ).withColumn("__pid", F.spark_partition_id()).persist()
+    totals = {
+        int(r["__pid"]): int(r["t"] or 0)
+        for r in d.groupBy("__pid").agg(
+            F.sum(F.col(n_tokens_col)).alias("t")
+        ).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in range(num_partitions):
+        offsets[pid] = acc
+        acc += totals.get(pid, 0)
+    spark = df.sparkSession
+    off_df = F.broadcast(spark.createDataFrame(
+        [(p, o) for p, o in offsets.items()], "__pid int, __off long"
+    ))
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(F.col(order_col).desc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = (
+        d.withColumn("__cum_in_part", F.sum(F.col(n_tokens_col)).over(w))
+        .join(off_df, "__pid")
+        .where(F.col("__off") + F.col("__cum_in_part") <= budget_tokens)
+        .drop("__pid", "__cum_in_part", "__off")
+    )
+    out.cached_deps = [d]
+    return out
 
 
 def contamination_hits(

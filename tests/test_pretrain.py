@@ -163,6 +163,65 @@ def test_pii_scrub_and_counts(spark):
     assert (got[3].c.n_emails, got[3].c.n_ips, got[3].c.n_phones) == (2, 1, 0)
 
 
+def test_select_token_budget(spark):
+    """Distributed prefix-sum budget cut: equals the scalar prefix
+    computation, composes (smaller budget ⊂ larger), is independent of the
+    range-partition count, and never plans a single-partition window."""
+    import io
+    from contextlib import redirect_stdout
+
+    from importpipeline_spark.operators.pretrain import (
+        select_token_budget,
+    )
+    from importpipeline_spark.operators.dedup import release_cache
+
+    rows = [(i, (i * 37) % 100 + 1) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+
+    # scalar reference: prefix of (n_tokens DESC, doc_id ASC) under budget
+    ordered = sorted(rows, key=lambda r: (-r[1], r[0]))
+    def prefix(budget):
+        out, acc = set(), 0
+        for d, n in ordered:
+            if acc + n > budget:
+                break
+            acc += n
+            out.add(d)
+        return out
+
+    for budget in (0, 500, 5000, 10**9):
+        got = select_token_budget(df, budget, "n_tokens", "n_tokens",
+                                  num_partitions=8)
+        ids = {r.doc_id for r in got.collect()}
+        assert ids == prefix(budget), budget
+        release_cache(got)
+
+    # partition-count independence (range boundaries don't change the set)
+    for p in (1, 3, 64):
+        got = select_token_budget(df, 5000, "n_tokens", "n_tokens",
+                                  num_partitions=p)
+        assert {r.doc_id for r in got.collect()} == prefix(5000), p
+        release_cache(got)
+
+    # nested budgets compose
+    small = select_token_budget(df, 2000, "n_tokens", "n_tokens")
+    large = select_token_budget(df, 8000, "n_tokens", "n_tokens")
+    s_ids = {r.doc_id for r in small.collect()}
+    l_ids = {r.doc_id for r in large.collect()}
+    assert s_ids <= l_ids
+    release_cache(small)
+    release_cache(large)
+
+    # plan discipline: the window is partitioned by the range-partition id —
+    # no single-partition exchange anywhere
+    got = select_token_budget(df, 5000, "n_tokens", "n_tokens")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        got.explain("formatted")
+    assert "SinglePartition" not in buf.getvalue()
+    release_cache(got)
+
+
 def test_pipeline_boilerplate_stage(spark, tmp_path):
     """run_pipeline's boilerplate stage: a footer present in 60% of pages
     is mined at the 30% df-fraction threshold and stripped from every
