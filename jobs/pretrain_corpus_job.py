@@ -50,6 +50,7 @@ def run_pipeline(
     neardup_threshold: float = 0.8,
     boilerplate_df_frac: float = 0.3,
     decon_ngram: int = 8,
+    token_budget: int | None = None,
     seed: int = 1,
 ) -> dict:
     """Run the whole corpus pipeline; returns the per-stage count report.
@@ -63,6 +64,10 @@ def run_pipeline(
     ``decon_ngram``: decontamination overlap length — 8 words by default
     (the published decontamination passes use 8-13-gram overlap; trigrams
     flag most of any same-language corpus as contaminated).
+
+    ``token_budget``: optional final cut — keep the longest documents until
+    the cumulative token count reaches the budget (select_token_budget's
+    distributed prefix sum; applied after sampling).
     """
     from importpipeline_spark.index.build import build_docs_safe
     from importpipeline_spark.operators.dedup import (
@@ -78,7 +83,9 @@ def run_pipeline(
         corpus_sample,
         repetition_signals,
         scrub_pii,
+        select_token_budget,
     )
+    from importpipeline_spark.text.analysis import token_count
 
     import time as _time
 
@@ -178,6 +185,13 @@ def run_pipeline(
     out = docs5.withColumn("text", scrub_pii(F.col("text")))
     if sample:
         out = corpus_sample(out, sample, "lang", "doc_id", seed=seed)
+    if token_budget:
+        out = out.withColumn(
+            "__nt", token_count(F.col("text")).cast("long")
+        )
+        out = select_token_budget(
+            out, token_budget, "__nt", "__nt", "doc_id"
+        ).drop("__nt")
     out.write.mode("overwrite").parquet(output)
     stats["written"] = spark.read.parquet(output).count()
     _lap("scrub_sample_write")
@@ -203,6 +217,9 @@ def main() -> None:
                          "of documents (0 disables)")
     ap.add_argument("--decon-ngram", type=int, default=8,
                     help="decontamination word n-gram overlap length")
+    ap.add_argument("--token-budget", type=int, default=None,
+                    help="optional final cut: keep longest docs until this "
+                         "cumulative token count")
     ap.add_argument("--seed", type=int, default=1)
     args = ap.parse_args()
 
@@ -220,6 +237,7 @@ def main() -> None:
         neardup_threshold=args.neardup_threshold,
         boilerplate_df_frac=args.boilerplate_df_frac,
         decon_ngram=args.decon_ngram,
+        token_budget=args.token_budget,
         seed=args.seed,
     )
     print(json.dumps({"job": "pretrain_corpus", **stats}))

@@ -264,6 +264,17 @@ def test_pipeline_boilerplate_stage(spark, tmp_path):
         "unique35 body35 words35 number35 alpha35 beta35 gamma35 delta35"
     )
 
+    # optional final token-budget cut: re-run with a 100-token budget —
+    # the written corpus's total whitespace tokens must fit it, docs chosen
+    # longest-first (all stripped docs are 8 tokens → 12 docs fit)
+    out2 = str(tmp_path / "corpus_budget")
+    stats2 = run_pipeline(spark, pages, out2, boilerplate_df_frac=0.3,
+                          neardup_threshold=0.95, token_budget=100)
+    kept = spark.read.parquet(out2).collect()
+    total = sum(len(r.text.split()) for r in kept)
+    assert total <= 100
+    assert stats2["written"] == len(kept) == 12  # 12 × 8 = 96 ≤ 100 < 104
+
 
 def test_pii_phone_no_false_positives(spark):
     """The phone pattern must redact phone SHAPES, not every digit run: a
