@@ -764,7 +764,12 @@ def q_token_budget(spark, sf_dir):
     out = select_token_budget(
         withtok, 10_000, "n_tokens", "n_tokens", "doc_id", num_partitions=32
     )
-    return out.select("doc_id", "n_tokens")
+    res = out.select("doc_id", "n_tokens")
+    # transformations don't carry Python-side attributes — re-attach the
+    # persisted range-partitioned frame so release_cache(result) works for
+    # any caller of this query (ADVICE r4)
+    res.cached_deps = getattr(out, "cached_deps", [])
+    return res
 
 
 def q_corpus_sample(spark, sf_dir):
@@ -1317,7 +1322,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id,
                    regexp_replace(after_ip,
-                       '\\+?\\b\\d{1,4}([ -]\\d{2,4}){2,3}[ -]\\d{3,4}\\b|\\+\\d{1,4}([ -]\\d{3,4}){2}\\b|\\b\\d{1,4}(-\\d{3,4}){2}\\b|\\d{7,15}\\b',
+                       '\\+?\\b\\d{1,4}([ -]\\d{2,4}){2,3}[ -]\\d{3,4}\\b|\\+\\d{1,4}([ -]\\d{3,4}){2}\\b|\\b\\d{1,4}(-\\d{3,4}){2}\\b|\\b\\d{7,15}\\b',
                                   '<PHONE>', 'g') AS scrubbed,
                    CAST(len(regexp_extract_all(text,
                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
@@ -1326,7 +1331,7 @@ def oracle_sql() -> dict[str, str]:
                        '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))
                        AS BIGINT) AS n_ips,
                    CAST(len(regexp_extract_all(after_ip,
-                       '\\+?\\b\\d{1,4}([ -]\\d{2,4}){2,3}[ -]\\d{3,4}\\b|\\+\\d{1,4}([ -]\\d{3,4}){2}\\b|\\b\\d{1,4}(-\\d{3,4}){2}\\b|\\d{7,15}\\b'))
+                       '\\+?\\b\\d{1,4}([ -]\\d{2,4}){2,3}[ -]\\d{3,4}\\b|\\+\\d{1,4}([ -]\\d{3,4}){2}\\b|\\b\\d{1,4}(-\\d{3,4}){2}\\b|\\b\\d{7,15}\\b'))
                        AS BIGINT) AS n_phones
             FROM stages2
         """,

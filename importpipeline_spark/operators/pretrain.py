@@ -156,16 +156,22 @@ PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
 #   2. plus-led 3-segment ("+1 555 010");
 #   3. hyphen-separated 3-segment ("0171-555-0123") — requiring '+' or '-'
 #      here is what rejects spaced thousand-separators ("1 234 567");
-#   4. plain runs of 7-15 digits ("5551234567"); longer runs lose their
-#      15-digit suffix (the identifier is still destroyed).
+#   4. plain runs of 7-15 digits ("5551234567"), \b-delimited on BOTH sides:
+#      the leading \b keeps digit runs embedded in alphanumeric identifiers
+#      ("A123456789") intact, and the trailing one already rejected
+#      mid-identifier suffixes. Both engines agree on \b.
 # Trade-offs (documented, deliberate): all-2-digit-group formats (FR
 # "01 23 45 67 89") and space-separated triplets without '+' are NOT
-# redacted — they are indistinguishable from numeric prose.
+# redacted — they are indistinguishable from numeric prose. Standalone
+# digit runs LONGER than 15 (card/account numbers, not phones) now survive
+# whole (no \b inside a run; they used to lose a 15-digit suffix), and a
+# ≥7-digit decimal fraction still redacts after the '.' ("3.<PHONE>") —
+# '.' is a word boundary and Java/RE2 have no lookbehind to see past it.
 PII_PHONE_RE = (
     r"\+?\b\d{1,4}(?:[ -]\d{2,4}){2,3}[ -]\d{3,4}\b"
     r"|\+\d{1,4}(?:[ -]\d{3,4}){2}\b"
     r"|\b\d{1,4}(?:-\d{3,4}){2}\b"
-    r"|\d{7,15}\b"
+    r"|\b\d{7,15}\b"
 )
 
 

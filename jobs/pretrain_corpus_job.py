@@ -185,15 +185,28 @@ def run_pipeline(
     out = docs5.withColumn("text", scrub_pii(F.col("text")))
     if sample:
         out = corpus_sample(out, sample, "lang", "doc_id", seed=seed)
+    tb = None
     if token_budget:
         out = out.withColumn(
             "__nt", token_count(F.col("text")).cast("long")
         )
-        out = select_token_budget(
-            out, token_budget, "__nt", "__nt", "doc_id"
-        ).drop("__nt")
+        # keep the RAW select_token_budget handle: .drop() returns a new
+        # DataFrame without the Python-side cached_deps attribute, so
+        # releasing must go through tb, not out (ADVICE r4)
+        tb = select_token_budget(out, token_budget, "__nt", "__nt", "doc_id")
+        out = tb.drop("__nt")
     out.write.mode("overwrite").parquet(output)
     stats["written"] = spark.read.parquet(output).count()
+    # the write materialized everything downstream of docs3/docs4/docs5 —
+    # release every cache still pinned (shared bench/pytest sessions run
+    # this pipeline repeatedly; leaked caches accumulate). unpersist is
+    # idempotent, so the docs5-is-docs4 / docs4-is-docs3 aliases are fine.
+    if tb is not None:
+        release_cache(tb)
+    release_cache(docs4)  # neardup survivors' checkpointed CC labels
+    docs5.unpersist()
+    docs4.unpersist()
+    docs3.unpersist()
     _lap("scrub_sample_write")
     return stats
 

@@ -292,6 +292,13 @@ def test_pii_phone_no_false_positives(spark):
         "page 1 22 333",
         "pop 1 234 567 users",          # thousand-separated: no '+' / '-'
         "run 12 34 56 78 ok",           # all-2-digit groups (FR-style trade)
+        "id A123456789 ok",             # digits embedded in an identifier:
+                                        # no \b between 'A' and '1'
+        "ref X99y1234567z",             # fully-embedded run
+        "acct 1234567890123456 end",    # 16-digit run: longer than a phone,
+                                        # no \b inside a run (documented
+                                        # trade-off — card/account numbers
+                                        # are not phone shapes)
     ]
     redact = [
         "+44 20 7946 0958",       # grouped international
@@ -311,3 +318,10 @@ def test_pii_phone_no_false_positives(spark):
         i = len(survive) + j
         assert "<PHONE>" in got[i].s, (redact[j], got[i].s)
         assert got[i].c.n_phones == 1
+
+    # documented inherent trade-off: '.' IS a word boundary and Java/RE2
+    # have no lookbehind, so a ≥7-digit decimal fraction redacts after the
+    # dot. Pinned so a future "fix" that breaks real phones shows up here.
+    frac = spark.createDataFrame([(0, "pi is 3.14159265 ok")], "i long, text string")
+    assert frac.select(scrub_pii(F.col("text")).alias("s")).first().s == \
+        "pi is 3.<PHONE> ok"
