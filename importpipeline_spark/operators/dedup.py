@@ -161,19 +161,41 @@ def word_tokens(text_col):
     return F.split(F.trim(text_col), r"\s+")
 
 
-def word_grams(text_col, n: int = 3):
-    """All word n-grams in order WITH multiplicity (position i holds the
-    gram starting at token i) — the positional base word_shingles and
-    strip_boilerplate both build on."""
-    toks = word_tokens(text_col)
-    k = F.size(toks) - (n - 1)
+def bind_once(expr, f):
+    """Evaluate ``expr`` ONCE per row and hand it to ``f`` as an O(1) lambda
+    variable — a ``transform`` over a one-element wrapper array.
+
+    Why this exists: Catalyst evaluates a higher-order function's lambda body
+    per element, and any non-trivial subexpression referenced inside the
+    lambda is RE-EVALUATED on every invocation (there is no cross-invocation
+    CSE). ``transform(seq, i -> slice(split(text), …))`` therefore re-splits
+    the whole document once per output element — O(L²) per row, measured at
+    21 s for a single 12k-token document. Binding the split result as a
+    lambda variable makes each access a variable read: 120k tokens in ~1 s.
+    """
+    return F.get(F.transform(F.array(expr), f), 0)
+
+
+def grams_of_tokens(toks_col, n: int = 3):
+    """All word n-grams of an ALREADY-MATERIALIZED token-array column (a
+    projected column or a bound lambda variable — never an unbound
+    split(...) expression; see bind_once)."""
+    k = F.size(toks_col) - (n - 1)
     return F.when(
         k > 0,
         F.transform(
             F.sequence(F.lit(0), k - 1),
-            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+            lambda i: F.array_join(F.slice(toks_col, i + 1, n), " "),
         ),
     ).otherwise(F.array())
+
+
+def word_grams(text_col, n: int = 3):
+    """All word n-grams in order WITH multiplicity (position i holds the
+    gram starting at token i) — the positional base word_shingles and
+    strip_boilerplate both build on. Linear in document length: the token
+    array is bound once per row (bind_once), not re-split per gram."""
+    return bind_once(word_tokens(text_col), lambda ts: grams_of_tokens(ts, n))
 
 
 def word_shingles(text_col, n: int = 3):
@@ -604,9 +626,15 @@ def strip_boilerplate(
     Scale shape: one posexplode of the documents' n-gram occurrences, ONE
     equi-join against the mined relation (broadcast when small — a real
     boilerplate list is thousands of spans, not billions), one partial-agg
-    groupBy(doc) collecting covered starts, and one join back; the per-doc
-    token filter is a JVM higher-order function over the (small) covered
-    set. Documents with no boilerplate hit pass through the left join
+    groupBy(doc) collecting covered starts, and one join back. The per-doc
+    token filter is ``array_except(sequence(0, L-1), covered)``: Spark's
+    ArrayExcept hashes the covered array once and scans the index sequence,
+    so the cost is O(tokens + covered positions) per document — linear even
+    for a long page that is mostly boilerplate (a per-token
+    ``array_contains(covered, i)`` would be O(tokens × covered), quadratic
+    on exactly the adversarial pages the stripper exists for; pinned by
+    tests/test_dedup.py::test_strip_boilerplate_mostly_covered_long_doc).
+    Documents with no boilerplate hit pass through the left join
     untouched. Returns ``df``'s id + stripped ``text_col`` +
     ``n_removed`` (token drop count for drop accounting — never silent).
     """
@@ -630,9 +658,12 @@ def strip_boilerplate(
         ),
         F.array().cast("array<integer>"),
     )
-    kept = F.filter(
-        F.col("ts"), lambda x, i: ~F.array_contains(covered, i)
-    )
+    # all indices 0..L-1, guarded: sequence(0, -1) would DESCEND, not be empty
+    all_idx = F.when(
+        F.size("ts") > 0, F.sequence(F.lit(0), F.size("ts") - 1)
+    ).otherwise(F.array().cast("array<integer>"))
+    keep_idx = F.array_except(all_idx, covered)  # hash-set probe, order-kept
+    kept = F.transform(keep_idx, lambda i: F.element_at(F.col("ts"), i + 1))
     return joined.select(
         F.col("id").alias(id_col),
         F.array_join(kept, " ").alias(text_col),

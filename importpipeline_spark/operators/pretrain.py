@@ -40,7 +40,11 @@ def _toks(text_col):
 
 
 def _grams_all(toks, n: int):
-    """All word n-grams (with multiplicity, unlike word_shingles)."""
+    """All word n-grams (with multiplicity, unlike word_shingles).
+
+    ``toks`` must be an already-materialized column or bound lambda variable
+    — never an unbound split(...) expression, which Catalyst would re-split
+    once per gram (O(L²) per row; see dedup.bind_once)."""
     k = F.size(toks) - (n - 1)
     return F.when(
         k > 0,
@@ -71,39 +75,61 @@ def repetition_signals(
       deterministic and oracle-hashable.
 
     Plan shape: every unit kind (word / line / 2-gram / 3-gram) goes through
-    ONE shared explode → groupBy(doc_id, kind, unit) with partial
+    ONE shared explode → groupBy(doc_id, kind, unit-identity) with partial
     aggregation, then one groupBy(doc_id) — two exchanges total, no windows,
-    no per-doc quadratic array ops (a 10k-line doc costs O(units), not
-    O(units²) like an array-filter-in-array formulation would).
+    no per-doc quadratic array ops. Two scale decisions (r5):
+
+    - The token and line arrays are PROJECTED columns, so gram construction
+      reads a bound reference per element instead of re-splitting the text
+      per gram (the O(L²)-per-row lambda-rebinding trap; dedup.bind_once).
+    - The shuffle key is ``xxhash64(unit)`` with ``length(unit)`` computed
+      map-side, never the unit string: counts need only identity and the
+      char-mass terms need only length, so shuffling 4 copies of the text
+      as strings (≈4× corpus volume at 100 TB) buys nothing. Within a
+      (doc, kind) group a 64-bit collision merges two unit counts —
+      probability ≈ u²/2⁶⁴ for u distinct units per doc, ~5e-12 even at a
+      pathological u = 10⁴ — accepted and documented; the DuckDB oracle
+      groups by the unit string and the contract query stays hash-green.
     """
     # NULL text (quarantined/unextractable docs) counts as empty — the doc
     # still gets its zero-valued row, matching the oracle's COALESCE
     text = F.coalesce(F.col(text_col), F.lit(""))
-    toks = _toks(text)
-    lines = F.filter(F.split(text, r"\n"), lambda x: F.trim(x) != "")
-    units = df.select(
+    prepared = df.select(
         F.col(id_col).alias("id"),
         F.length(text).alias("n_chars"),
+        _toks(text).alias("__toks"),
+        F.filter(F.split(text, r"\n"), lambda x: F.trim(x) != "")
+         .alias("__lines"),
+    )
+    toks, lines = F.col("__toks"), F.col("__lines")
+
+    def unit(kind):
+        return lambda u: F.struct(
+            F.lit(kind).alias("kind"),
+            F.xxhash64(u).alias("h"),
+            F.length(u).alias("len"),
+        )
+
+    units = prepared.select(
+        "id",
+        "n_chars",
         F.size(toks).alias("n_words"),
         F.size(lines).alias("n_lines"),
         # explode_outer: a document with no units at all (empty text) must
         # still emit its zero-valued signals row
         F.explode_outer(
             F.concat(
-                F.transform(toks, lambda w: F.struct(
-                    F.lit("w").alias("kind"), w.alias("unit"))),
-                F.transform(lines, lambda l: F.struct(
-                    F.lit("l").alias("kind"), l.alias("unit"))),
-                F.transform(_grams_all(toks, 2), lambda g: F.struct(
-                    F.lit("g2").alias("kind"), g.alias("unit"))),
-                F.transform(_grams_all(toks, 3), lambda g: F.struct(
-                    F.lit("g3").alias("kind"), g.alias("unit"))),
+                F.transform(toks, unit("w")),
+                F.transform(lines, unit("l")),
+                F.transform(_grams_all(toks, 2), unit("g2")),
+                F.transform(_grams_all(toks, 3), unit("g3")),
             )
         ).alias("u"),
     )
     counts = units.groupBy(
         "id", "n_chars", "n_words", "n_lines",
-        F.col("u.kind").alias("kind"), F.col("u.unit").alias("unit"),
+        F.col("u.kind").alias("kind"), F.col("u.h").alias("h"),
+        F.col("u.len").alias("len"),
     ).agg(F.count(F.lit(1)).alias("cnt"))
     per_doc = counts.groupBy("id", "n_chars", "n_words", "n_lines").agg(
         F.sum(F.when((F.col("kind") == "w") & (F.col("cnt") > 1), F.col("cnt"))
@@ -111,10 +137,10 @@ def repetition_signals(
         F.sum(F.when((F.col("kind") == "l") & (F.col("cnt") > 1), F.col("cnt"))
               .otherwise(0)).alias("dup_lines"),
         F.max(F.when(F.col("kind") == "g2",
-                     F.col("cnt") * F.length("unit")).otherwise(0)
+                     F.col("cnt") * F.col("len")).otherwise(0)
               ).alias("top2_chars"),
         F.max(F.when(F.col("kind") == "g3",
-                     F.col("cnt") * F.length("unit")).otherwise(0)
+                     F.col("cnt") * F.col("len")).otherwise(0)
               ).alias("top3_chars"),
     )
     z = F.lit(0.0)

@@ -375,6 +375,35 @@ def test_strip_boilerplate_planted(spark):
     assert set(got) == {1, 2, 3, 4, 5, 6}
 
 
+def test_strip_boilerplate_mostly_covered_long_doc(spark):
+    """Adversarial scale shape (ADVICE r4): a long document that is almost
+    entirely boilerplate must strip in time linear in its length. The old
+    per-token ``array_contains(covered, i)`` filter was O(tokens × covered)
+    — ~1.4e10 comparisons for this 120k-token fully-covered page; the
+    array_except hash-probe rewrite is O(tokens + covered). The bound here
+    (30 s wall for the whole job) fails the quadratic shape by an order of
+    magnitude while leaving huge headroom for a loaded host."""
+    import time
+
+    from importpipeline_spark.operators.dedup import strip_boilerplate
+
+    L = 120_000  # tokens; every position covered by a mined trigram
+    rows = [
+        (1, "a b c " * (L // 3)),
+        (2, "clean words only here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    mined = spark.createDataFrame(
+        [("a b c",), ("b c a",), ("c a b",)], "ngram string"
+    )
+    t0 = time.monotonic()
+    got = {r.doc_id: r for r in strip_boilerplate(df, mined, n=3).collect()}
+    elapsed = time.monotonic() - t0
+    assert got[1].text == "" and got[1].n_removed == L
+    assert got[2].text == "clean words only here" and got[2].n_removed == 0
+    assert elapsed < 30, f"strip took {elapsed:.1f}s — quadratic shape?"
+
+
 def test_contamination_attribution_edges(spark):
     """Provenance: per-doc best-matching benchmark item, deterministic
     tie-break (count DESC, bench_id ASC), NULL attribution for clean docs,
