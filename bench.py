@@ -603,7 +603,29 @@ def headline() -> None:
 
     _mark("web sweep probes done")
 
-    pc_pages = pages.where(_F.xxhash64("url") % 12 == 0)
+    pc_raw = pages.where(_F.xxhash64("url") % 12 == 0)
+    pc_pages = pc_raw
+    # r5 (VERDICT r4 #3): the graded probe must EXERCISE every stage, not
+    # just route through it — plant the three phenomena deterministically:
+    # (a) a shared site footer on ~1/8 of the slice (plain-text passthrough
+    #     keeps the rows extraction-golden; probe threshold 0.08 < 1/8 so
+    #     the footer trigrams mine and strip_boilerplate does real work),
+    # (b) ~1/32 repeated-phrase spam rows that fail the repetition gate
+    #     (dup_word_frac 1.0, top-2-gram mass ≈ 1.0 — both over the gates),
+    # (c) 5 poison rows (30k-deep nesting → RecursionError in the parser)
+    #     that land in the extraction quarantine.
+    _footer = (" subscribe to our newsletter all rights reserved"
+               " terms of service privacy policy contact us")
+    _is_bp = _F.xxhash64("url", _F.lit("bp")) % 8 == 0
+    pc_pages = pc_pages.withColumn(
+        "text",
+        _F.when(_is_bp, _F.concat("text", _F.lit(_footer)))
+          .otherwise(_F.col("text")),
+    ).withColumn(
+        "html",
+        _F.when(_is_bp, _F.encode(_F.col("text"), "utf-8"))
+          .otherwise(_F.col("html")),
+    )
     mirrors = pc_pages.where(_F.xxhash64("url") % 120 == 0).select(
         _F.concat(_F.col("url"), _F.lit("_mirror")).alias("url"),
         "warc_ts",
@@ -612,10 +634,30 @@ def headline() -> None:
         "text",
         "lang",
     )
-    pc_input = pc_pages.unionByName(mirrors)
+    _spamtext = ("buy cheap pills now " * 60).strip()
+    spam = pc_pages.where(_F.xxhash64("url", _F.lit("spam")) % 32 == 0).select(
+        _F.concat(_F.col("url"), _F.lit("_spam")).alias("url"),
+        "warc_ts",
+        _F.encode(_F.lit(_spamtext), "utf-8").alias("html"),
+        _F.lit(_spamtext).alias("text"),
+        "lang",
+    )
+    _deep = ("<html><body>" + "<div>" * 30000 + "x" + "</div>" * 30000
+             + "</body></html>")
+    poison = spark.range(5).select(
+        _F.concat(_F.lit("https://poison.example/p/"), "id").alias("url"),
+        _F.lit("2020-01-01").cast("timestamp").alias("warc_ts"),
+        _F.encode(_F.lit(_deep), "utf-8").alias("html"),
+        _F.lit(None).cast("string").alias("text"),
+        _F.lit("en").alias("lang"),
+    )
+    pc_input = (pc_pages.unionByName(mirrors).unionByName(spam)
+                .unionByName(poison))
     bench_path = os.path.join(out_root, "corpus_benchslice")
     if not os.path.exists(bench_path):
-        pc_pages.where(_F.xxhash64("url") % 600 == 0).select(
+        # from the PRE-footer slice: the eval set must not contain the
+        # planted boilerplate (and the cached file predates the footers)
+        pc_raw.where(_F.xxhash64("url") % 600 == 0).select(
             "text"
         ).write.parquet(bench_path)
     pc_out = os.path.join(out_root, "corpus_probe")
@@ -626,6 +668,9 @@ def headline() -> None:
         benchmark_path=bench_path,
         sample={"en": 0.5, "de": 0.25, "fr": 0.125},
         neardup_threshold=0.8,
+        # below the planted footer's 1/8 df so the mined set is non-empty
+        # and the strip stage's cost is actually measured
+        boilerplate_df_frac=0.08,
     )
     times["pretrain_corpus"] = round(time.perf_counter() - t0, 3)
     _mark("pretrain_corpus probe done")
