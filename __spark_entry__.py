@@ -628,6 +628,55 @@ def q_ivf_ann_topk(spark, sf_dir):
     )
 
 
+def q_ivf_ann_partial(spark, sf_dir):
+    """IVF recall at a genuinely PARTIAL probe (2 of 8 cells), oracle-checked
+    — the clustered-fixture counterpart to q_ivf_ann_topk's full-probe
+    identity (and the ANN analogue of the r4 web-corpus move: the fixture
+    embeddings are clusterless, so partial-probe recall plateaus at 8-9/10
+    there and only full probe could be oracled; see CLAUDE.md §6).
+
+    The planted structure is DERIVED from the embeddings table identically
+    in Spark and SQL: cluster c = vec_id % 8, v' = 10·e_c + 0.1·v (centers
+    14× farther apart than the noise radius). ivf_build's deterministic
+    init (the 8 smallest ids of rest = vec_ids 1..8, whose ids mod 8 cover
+    every planted cluster) seeds one centroid per cluster, so Lloyd
+    converges to a planted-cluster↔cell bijection and probing the 2 cells
+    nearest the query provably contains the full brute-force top-10.
+    Measured recall-vs-n_probe on this fixture is 10/10 at EVERY n_probe
+    ≥ 1 at sf0.001 and sf0.01 (PLANS §17); n_probe=2 is used for margin.
+    Cosine is rounded to 6 decimals (not 4): within-cluster cosines all sit
+    at ≈0.9999x, so 4-decimal rounding would tie the whole cluster."""
+    from importpipeline_spark.operators.similarity import cosine_topk_ivf, ivf_build
+
+    emb = _t(spark, sf_dir, "embeddings")
+    c = (F.col("vec_id") % 8).cast("int")
+    cvec = F.transform(
+        "embedding",
+        lambda x, i: F.when(i == c, F.lit(10.0)).otherwise(F.lit(0.0))
+        + F.lit(0.1) * x.cast("double"),
+    )
+    clustered = emb.select("vec_id", cvec.alias("embedding"))
+    qvec = [
+        float(x)
+        for x in clustered.where(F.col("vec_id") == 0).first().embedding
+    ]
+    rest = clustered.where(F.col("vec_id") != 0)
+    with_cells, centroids = ivf_build(rest, n_cells=8, iters=3)
+    ann = cosine_topk_ivf(with_cells, centroids, qvec, k=10, n_probe=2)
+    bf = cosine_topk_bruteforce(rest, qvec, k=10)
+    top = _rank_bounded(bf, F.col("cosine").desc(), F.col("vec_id").asc())
+    res = top.join(
+        ann.select("vec_id", F.lit(1).alias("found")), "vec_id", "left"
+    ).select(
+        "rank",
+        "vec_id",
+        F.round("cosine", 6).alias("cosine"),
+        F.coalesce("found", F.lit(0)).cast("long").alias("found"),
+    )
+    res.broadcast_deps = getattr(with_cells, "broadcast_deps", [])
+    return res
+
+
 def q_multimodal_meta(spark, sf_dir):
     """Multimodal plumbing: documents → opaque binary payload + typed
     metadata via the stubbed decode path (operators/multimodal.py). The
@@ -817,6 +866,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ivf_ann_topk": q_ivf_ann_topk,
+        "ivf_ann_partial": q_ivf_ann_partial,
         "embedding_neardup": q_embedding_neardup,
         "boilerplate_ngrams": q_boilerplate_ngrams,
         "multimodal_meta": q_multimodal_meta,
@@ -1088,6 +1138,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id ASC) AS rank,
                    vec_id, ROUND(cosine, 4) AS cosine
             FROM scored ORDER BY cosine DESC, vec_id ASC LIMIT 10
+        """,
+        "ivf_ann_partial": """
+            WITH clustered AS (
+                SELECT vec_id,
+                       list_transform(generate_series(1, 64), d ->
+                           (CASE WHEN d - 1 = vec_id % 8 THEN 10.0 ELSE 0.0 END)
+                           + 0.1 * CAST(embedding[d] AS DOUBLE)) AS cv
+                FROM embeddings
+            ),
+            q AS (SELECT cv AS qv FROM clustered WHERE vec_id = 0),
+            scored AS (
+                SELECT vec_id, list_cosine_similarity(cv, q.qv) AS cosine
+                FROM clustered, q WHERE vec_id != 0
+            ),
+            -- rank on the RAW cosine in a subquery: an outer ORDER BY
+            -- `cosine` would resolve to the ROUNDED output alias, and the
+            -- whole planted cluster ties at 4-6 decimals
+            top AS (
+                SELECT vec_id, cosine,
+                       ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id ASC)
+                           AS rank
+                FROM scored
+            )
+            SELECT rank, vec_id, ROUND(cosine, 6) AS cosine,
+                   CAST(1 AS BIGINT) AS found
+            FROM top WHERE rank <= 10 ORDER BY rank
         """,
         "multimodal_meta": """
             SELECT doc_id,

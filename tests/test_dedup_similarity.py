@@ -247,6 +247,44 @@ def test_ivf_ann_recall(vectors, spark):
     assert cells <= set(range(8))
 
 
+def test_ivf_partial_probe_recall_on_planted_clusters(spark):
+    """The ivf_ann_partial contract invariant (r5): on the planted-cluster
+    derivation of the fixture embeddings (c = vec_id % 8, v' = 10·e_c +
+    0.1·v), ivf_build's deterministic smallest-id init seeds one centroid
+    per planted cluster (rest's 8 smallest ids are 1..8, covering every
+    residue), Lloyd converges to a planted-cluster↔cell BIJECTION, and
+    partial-probe recall is 10/10 from n_probe=1 up. Re-measure at sf0.001
+    AND sf0.01 before touching any parameter here (CLAUDE.md §6)."""
+    from importpipeline_spark.operators.similarity import cosine_topk_ivf, ivf_build
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    c = (F.col("vec_id") % 8).cast("int")
+    cvec = F.transform(
+        "embedding",
+        lambda x, i: F.when(i == c, F.lit(10.0)).otherwise(F.lit(0.0))
+        + F.lit(0.1) * x.cast("double"),
+    )
+    clustered = emb.select("vec_id", cvec.alias("embedding"))
+    qvec = [float(x)
+            for x in clustered.where(F.col("vec_id") == 0).first().embedding]
+    rest = clustered.where(F.col("vec_id") != 0).persist()
+    bf = {r.vec_id for r in cosine_topk_bruteforce(rest, qvec, k=10).collect()}
+    with_cells, centroids = ivf_build(rest, n_cells=8, iters=3)
+    wc = with_cells.persist()
+    # bijection: every planted cluster maps to exactly one cell, all distinct
+    m = {}
+    for r in wc.select((F.col("vec_id") % 8).alias("pc"), "cell").distinct().collect():
+        m.setdefault(r.pc, set()).add(r.cell)
+    assert all(len(v) == 1 for v in m.values()), m
+    assert len({next(iter(v)) for v in m.values()}) == 8, m
+    for npr in (1, 2):
+        ann = {r.vec_id for r in
+               cosine_topk_ivf(wc, centroids, qvec, k=10, n_probe=npr).collect()}
+        assert len(bf & ann) == 10, (npr, sorted(bf - ann))
+    rest.unpersist()
+    wc.unpersist()
+
+
 def test_ivf_real_sizes(spark):
     """IVF at realistic quantizer sizes (256 cells × 128 dims): the broadcast
     numpy assignment path must stay fast and correct — clustered data should
