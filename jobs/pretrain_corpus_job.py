@@ -130,10 +130,18 @@ def run_pipeline(
         stats["boilerplate_ngrams"] = mined.count()
         if stats["boilerplate_ngrams"]:
             stripped = strip_boilerplate(docs2, mined, "text", "doc_id", n=3)
+            # EAGER localCheckpoint, not persist: every downstream action
+            # (LSH bucket caps, pairs count, each CC round, decon, the final
+            # write) re-analyzes its full logical plan, and the strip plan's
+            # nested higher-order-function trees cost seconds PER ACTION to
+            # re-analyze — measured as a scale-independent 4-30x slowdown of
+            # every stage after this one (CLAUDE.md 10a, same failure class
+            # as the CC loop livelock). Checkpointing truncates the logical
+            # plan to a LogicalRDD and doubles as the stage materialization.
             docs2b = (
                 docs2.drop("text")
                 .join(stripped.select("doc_id", "text", "n_removed"), "doc_id")
-                .persist()
+                .localCheckpoint()
             )
             stats["boilerplate_tokens_removed"] = int(
                 docs2b.agg(F.sum("n_removed")).first()[0] or 0
