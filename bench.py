@@ -707,6 +707,10 @@ def headline() -> None:
         _F.lit(_spamtext).alias("text"),
         "lang",
     )
+    # depth 30000 matches tests/test_errors.py: the parser is iterative up
+    # to at least 16k nesting (measured), so this is the reliable
+    # RecursionError trigger; the probe pays the poison parse twice
+    # (docs pass + errors pass) — an honest quarantine cost
     _deep = ("<html><body>" + "<div>" * 30000 + "x" + "</div>" * 30000
              + "</body></html>")
     poison = spark.range(5).select(

@@ -145,12 +145,23 @@ def tf_pairs_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
         yield s.map(one)
 
 
-def build_docs_safe(pages: DataFrame, doc_id_mode: str = "hash"):
+def build_docs_safe(pages: DataFrame, doc_id_mode: str = "hash",
+                    cache: bool = False):
     """Like build_docs but with per-record quarantine: returns (docs, errors).
 
     errors(url, stage, error, ts) mirrors the reference's error records
-    (Endpoints/ESEndpoint.cs:457-471: err_key/err_date/err_ds/err_text)."""
+    (Endpoints/ESEndpoint.cs:457-471: err_key/err_date/err_ds/err_text).
+
+    ``cache=True`` persists the shared post-extraction relation (html
+    dropped — only the extracted text is cached) and attaches it to both
+    returned frames as ``cached_deps``: a caller that counts/reads BOTH
+    docs and errors would otherwise run the extraction UDF over the whole
+    corpus twice — at scale that doubles the pipeline's single most
+    expensive stage. Callers release via dedup.release_cache (or unpersist
+    on the attached handle) once both sides are materialized."""
     extracted = pages.withColumn("ex", html_to_text_safe_udf(F.col("html")))
+    if cache:
+        extracted = extracted.drop("html").persist()
     errors = extracted.where(F.col("ex.error").isNotNull()).select(
         "url",
         F.lit("extract").alias("stage"),
@@ -171,6 +182,9 @@ def build_docs_safe(pages: DataFrame, doc_id_mode: str = "hash"):
         )
         .select("doc_id", "url", "warc_ts", "text", "tokens", "doc_len", "lang")
     )
+    if cache:
+        docs.cached_deps = [extracted]
+        errors.cached_deps = [extracted]
     return docs, errors
 
 

@@ -99,11 +99,19 @@ def run_pipeline(
         stats[f"sec_{key}"] = round(_time.perf_counter() - _t, 1)
         _t = _time.perf_counter()
 
-    # 1. extraction with per-record quarantine
-    docs, errors = build_docs_safe(pages)
+    # 1. extraction with per-record quarantine. cache=True shares ONE
+    # extraction pass between the docs and errors sides (counting both
+    # would otherwise run the Arrow extraction UDF over the whole corpus
+    # twice — at 100 TB that doubles the most expensive stage); the shared
+    # cache is released as soon as both counts are in and docs has its own
+    # (html-free, token-free) cache.
+    docs, errors = build_docs_safe(pages, cache=True)
+    extract_cache = docs.cached_deps
     docs = docs.drop("tokens").persist()
     stats["extracted"] = docs.count()
     stats["quarantined"] = errors.count()
+    for _c in extract_cache:
+        _c.unpersist()
     _lap("extract")
 
     # 2. quality gate: token bounds + repetition signals
