@@ -356,10 +356,13 @@ def _lookup_idf(spark, pidx, terms: List[str]):
     """One dictionary scan → (idf per term, union of candidate shards).
 
     The dictionary row carries each term's shard list (recorded at build),
-    so partition pruning needs no extra planning job over the postings."""
+    so partition pruning needs no extra planning job over the postings.
+    Reads go through the handle's memoized relations (store.PhysicalIndex):
+    resolving the parquet relation per query re-pays file listing + schema
+    jobs — the measured majority of per-query latency at steady state."""
     n = pidx.stats["n_docs"]
     rows = (
-        spark.read.parquet(pidx.terms_path)
+        pidx.terms_df(spark)
         .where(F.col("term").isin(terms))
         .collect()
     )
@@ -373,11 +376,11 @@ def _pruned_reads(spark, pidx, terms: List[str], shards: List[int]):
     if not shards:
         return None, None
     postings = (
-        spark.read.parquet(pidx.postings_path)
+        pidx.postings_df(spark)
         .where(F.col("shard").isin(shards))
         .where(F.col("term").isin(terms))
     )
-    doclen = spark.read.parquet(pidx.doclen_path).where(F.col("shard").isin(shards))
+    doclen = pidx.doclen_df(spark).where(F.col("shard").isin(shards))
     return postings, doclen
 
 

@@ -124,3 +124,21 @@ def test_wand_multiblock_rank_identical(spark, tmp_path_factory, monkeypatch):
     searcher = LocalSearcher(root)
     for q in ("the", "of and", "the of and to in"):
         assert searcher.search(q, k=10) == oracle.topk(analyze_query(q), k=10), q
+
+
+def test_relation_cache_reused_across_queries(physical, spark):
+    """The index handle memoizes resolved parquet relations per session:
+    repeated queries must NOT re-pay driver-side file listing + schema
+    resolution (store.PhysicalIndex._rel). Identity, not equality — the
+    contract is that the SAME resolved LogicalRelation (and its
+    InMemoryFileIndex) is reused."""
+    pidx, _ = physical
+    assert pidx.terms_df(spark) is pidx.terms_df(spark)
+    assert pidx.postings_df(spark) is pidx.postings_df(spark)
+    assert pidx.doclen_df(spark) is pidx.doclen_df(spark)
+    # open_index returns a FRESH handle (writers hand out new handles after
+    # mutation, so stale file sets can't leak through the cache)
+    from importpipeline_spark.index.store import open_index
+
+    fresh = open_index(pidx.root)
+    assert fresh.postings_df(spark) is not pidx.postings_df(spark)
