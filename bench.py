@@ -346,10 +346,13 @@ barrier).
 
 Round-4 path changes folded the per-batch counter job and the dictionary's
 full posting re-read into the encode pass itself (sidecar counters + cached
-tf aggregation): absolute throughput rose at both levels and the crash-safe
-overhead vs the straight-through build is now ~1.0x (bench probe
-resumable_vs_full). The ceiling-normalized efficiency is the comparable
-figure across measurement windows.
+tf aggregation); the crash-safe overhead vs the straight-through build is
+~1.0-1.15x across measurement windows (bench probe resumable_vs_full).
+Absolute per-level times move with neighbor load window-to-window — the
+single-threaded level most of all — which is why the protocol interleaves
+repeats, takes per-level minima, and reads efficiency against the
+concurrently-measured raw-CPU ceiling rather than comparing absolute times
+across windows.
 """
     md_path = os.path.join(REPO, "BENCH", "BASELINE.md")
     if os.path.exists(md_path):
