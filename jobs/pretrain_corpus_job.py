@@ -143,7 +143,7 @@ def run_pipeline(
             # write) re-analyzes its full logical plan, and the strip plan's
             # nested higher-order-function trees cost seconds PER ACTION to
             # re-analyze — measured as a scale-independent 4-30x slowdown of
-            # every stage after this one (CLAUDE.md 10a, same failure class
+            # every stage after this one (CLAUDE.md 10, same failure class
             # as the CC loop livelock). Checkpointing truncates the logical
             # plan to a LogicalRDD and doubles as the stage materialization.
             docs2b = (
