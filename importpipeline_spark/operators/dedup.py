@@ -587,19 +587,50 @@ def boilerplate_ngrams(
     frequency — the spans a pretraining pipeline strips because they are
     template/boilerplate rather than content.
 
-    Scale shape: each document contributes a shingle at most once
-    (word_shingles is per-doc distinct), so a plain count after explode IS
-    document frequency — one explode + one partially-aggregated groupBy
-    (map-side combine absorbs head shingles), no joins, no windows, no
-    distinct-aggregation shuffle. Returns (ngram, df).
+    Scale shape (r5): the classic two-pass heavy-hitter design. Each
+    document contributes a shingle at most once (word_shingles is per-doc
+    distinct), so a plain count after explode IS document frequency — but a
+    one-pass ``groupBy(ngram)`` shuffles every tail gram's STRING once
+    (map-side combine only compresses repeats within a partition, and df=1
+    grams — the vast majority — have none): ~3× corpus volume of string
+    shuffle at 100 TB, the same unit-string mistake repetition_signals
+    fixed this round. Instead:
+
+    - Pass 1 counts df on a 128-bit composite hash (two independent
+      xxhash64 seeds): the count shuffle carries 16 bytes per distinct
+      gram per partition, never the text. 128 bits, not 64, because this
+      key is CORPUS-scoped (unlike repetition_signals' per-doc scope):
+      at ~10^13 distinct grams a 64-bit key expects millions of
+      collisions, a 128-bit one ~1e-13.
+    - Pass 2 re-derives the grams map-side (stateless recompute of the
+      explode — CPU over the cached/columnar text, no shuffle) and joins
+      the survivors back to recover their strings. The join is left
+      unhinted: a real mined set is thousands of spans, so AQE broadcasts
+      it and the corpus side never shuffles; in the pathological
+      everything-is-duplicated + min_df=2 case AQE falls back to a
+      shuffle join, which is no worse than the one-pass string groupBy.
+      The final per-string agg's map-side combine emits at most
+      |survivors| rows per partition.
+
+    Returns (ngram, df); output is identical to the one-pass formulation
+    (the DuckDB contract oracle still groups by the raw string).
     """
     grams = df.select(
-        F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("ngram")
+        F.explode(word_shingles(F.col(text_col), n)).alias("ngram")
     )
-    return (
-        grams.groupBy("ngram")
+    h = [F.xxhash64("ngram").alias("h1"),
+         F.xxhash64("ngram", F.lit(1)).alias("h2")]
+    surviving = (
+        grams.select(*h)
+        .groupBy("h1", "h2")
         .agg(F.count(F.lit(1)).alias("df"))
         .where(F.col("df") >= min_df)
+    )
+    return (
+        grams.select("ngram", *h)
+        .join(surviving, ["h1", "h2"])
+        .groupBy("ngram")
+        .agg(F.max("df").alias("df"))
     )
 
 
