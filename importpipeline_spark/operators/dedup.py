@@ -228,11 +228,22 @@ def ngram_jaccard_pairs(
     may be missed (they must share an above-bound shingle to be affected),
     never falsely emitted. ``None`` uncaps (exact result, skew-exposed).
     The result carries ``cap_reports`` with the exact cut counts.
+
+    The join/count key is ``xxhash64(shingle)``, not the shingle string
+    (r5): intersection counting needs only identity, and the self-join
+    shuffles the exploded relation on both sides — hashing cuts that
+    volume 2-3× (8 B vs a ~20 B trigram). A cross-document collision adds
+    one phantom shared shingle: jaccard inflation ≤ 1/|union| (far below
+    any real threshold, and a spurious pair would score 1/(na+nb−1) —
+    never ≥ 0.5), probability ~(distinct shingles)²/2⁶⁴ per corpus.
     """
     sh = df.select(
         F.col(id_col).alias("id"), word_shingles(F.col(text_col), n).alias("sh")
     ).withColumn("n_sh", F.size("sh"))
-    ex = sh.select("id", "n_sh", F.explode("sh").alias("s"))
+    ex = sh.select(
+        "id", "n_sh",
+        F.explode(F.transform("sh", lambda s: F.xxhash64(s))).alias("s"),
+    )
     cached = []
     if max_shingle_df is not None:
         # the eager hot-shingle detection plus both self-join sides would
@@ -342,9 +353,16 @@ def minhash_lsh_pairs(
     # relation feeds BOTH join sides (id_a and id_b): persist it so the
     # corpus is shingled once, not once per side — at 100 TB the two scans
     # are the cost, not the few-candidate join. Released with the signature
-    # cache via release_cache(result).
+    # cache via release_cache(result). The cached sets hold xxhash64(sh),
+    # not the strings (r5): set intersection needs only identity, hashes
+    # shrink the cache 2-3× and make the intersect integer compares; a
+    # collision perturbs one set size by 1 (jaccard shift ≤ 1/|union|,
+    # probability ~(distinct shingles)²/2⁶⁴ per corpus).
     sh = df.select(
-        F.col(id_col).alias("id"), word_shingles(F.col(text_col), n).alias("sh")
+        F.col(id_col).alias("id"),
+        F.transform(
+            word_shingles(F.col(text_col), n), lambda s: F.xxhash64(s)
+        ).alias("sh"),
     ).persist()
     verified = (
         cands.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
