@@ -319,6 +319,14 @@ def select_token_budget(
     survives iff its own cumulative total fits entirely (Σ ≤ budget) —
     budgets compose: a smaller budget's selection is a strict prefix of a
     larger one's.
+
+    Only a SKINNY (id, priority, tokens) projection ever shuffles (r5):
+    the prefix sum needs nothing else, so range-exchanging the full rows
+    — document text included — was corpus-sized shuffle volume for a
+    three-column computation. The cut point the prefix sum yields is a
+    single (priority, id) threshold; because keep = a prefix of a total
+    order, the final selection is a map-side comparison against that
+    broadcast scalar on the ORIGINAL frame — the text never moves.
     """
     # persist BEFORE the totals job: repartitionByRange SAMPLES its
     # boundaries, so an unpersisted plan could be re-sampled differently
@@ -326,7 +334,8 @@ def select_token_budget(
     # partitioning applied to another would corrupt the cumulative sums.
     # The cache pins one materialized partitioning for both consumers
     # (released via release_cache(result) after materialization).
-    d = df.repartitionByRange(
+    cols = list(dict.fromkeys([id_col, order_col, n_tokens_col]))
+    d = df.select(*cols).repartitionByRange(
         num_partitions, F.col(order_col).desc(), F.col(id_col).asc()
     ).withColumn("__pid", F.spark_partition_id()).persist()
     totals = {
@@ -348,12 +357,26 @@ def select_token_budget(
         .orderBy(F.col(order_col).desc(), F.col(id_col).asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    out = (
+    survivors = (
         d.withColumn("__cum_in_part", F.sum(F.col(n_tokens_col)).over(w))
         .join(off_df, "__pid")
         .where(F.col("__off") + F.col("__cum_in_part") <= budget_tokens)
-        .drop("__pid", "__cum_in_part", "__off")
     )
+    # the cut threshold: the LAST surviving row in (priority DESC, id ASC)
+    # order = the minimum surviving priority, then the maximum id at it.
+    # Two driver scalars off the small cached skinny relation.
+    cut_order = survivors.agg(F.min(F.col(order_col))).first()[0]
+    if cut_order is None:
+        keep = F.lit(False)
+    else:
+        cut_id = (
+            survivors.where(F.col(order_col) == cut_order)
+            .agg(F.max(F.col(id_col))).first()[0]
+        )
+        keep = (F.col(order_col) > cut_order) | (
+            (F.col(order_col) == cut_order) & (F.col(id_col) <= cut_id)
+        )
+    out = df.where(keep)
     out.cached_deps = [d]
     return out
 
