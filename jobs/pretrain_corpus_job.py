@@ -202,23 +202,38 @@ def run_pipeline(
     if sample:
         out = corpus_sample(out, sample, "lang", "doc_id", seed=seed)
     tb = None
+    pre_budget = None
     if token_budget:
-        out = out.withColumn(
+        # persist the scrubbed+sampled+tokenized frame ONCE: the budget
+        # path reads it three times (the skinny prefix-sum exchange, the
+        # threshold-filtered write, the kept-token stat) and each pass
+        # would otherwise re-run the PII regex chain over the corpus
+        pre_budget = out.withColumn(
             "__nt", token_count(F.col("text")).cast("long")
-        )
+        ).persist()
         # keep the RAW select_token_budget handle: .drop() returns a new
         # DataFrame without the Python-side cached_deps attribute, so
         # releasing must go through tb, not out (ADVICE r4)
-        tb = select_token_budget(out, token_budget, "__nt", "__nt", "doc_id")
+        tb = select_token_budget(pre_budget, token_budget, "__nt", "__nt",
+                                 "doc_id")
         out = tb.drop("__nt")
     out.write.mode("overwrite").parquet(output)
     stats["written"] = spark.read.parquet(output).count()
+    if tb is not None:
+        # the budget's effect, observable in the run report: kept token
+        # mass (≤ token_budget by construction; the skinny prefix-sum
+        # relation is still cached, so this is one cheap agg)
+        stats["written_tokens"] = int(
+            tb.agg(F.sum("__nt")).first()[0] or 0
+        )
     # the write materialized everything downstream of docs3/docs4/docs5 —
     # release every cache still pinned (shared bench/pytest sessions run
     # this pipeline repeatedly; leaked caches accumulate). unpersist is
     # idempotent, so the docs5-is-docs4 / docs4-is-docs3 aliases are fine.
     if tb is not None:
         release_cache(tb)
+    if pre_budget is not None:
+        pre_budget.unpersist()
     release_cache(docs4)  # neardup survivors' checkpointed CC labels
     docs5.unpersist()
     docs4.unpersist()
