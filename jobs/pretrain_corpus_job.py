@@ -217,6 +217,11 @@ def run_pipeline(
         tb = select_token_budget(pre_budget, token_budget, "__nt", "__nt",
                                  "doc_id")
         out = tb.drop("__nt")
+        # select_token_budget's driver jobs (range sampling, totals,
+        # threshold aggs) materialized pre_budget — so this lap holds the
+        # PII scrub + sampling evaluation AND the budget cut; the next lap
+        # is the write alone
+        _lap("budget_cut")
     out.write.mode("overwrite").parquet(output)
     stats["written"] = spark.read.parquet(output).count()
     if tb is not None:
