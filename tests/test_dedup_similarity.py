@@ -377,6 +377,38 @@ def test_boilerplate_ngrams_vs_pandas(spark):
     assert ("a b c", 3) in got  # doc 1 contributed exactly once
 
 
+def test_boilerplate_ngrams_two_pass_randomized(spark):
+    """The r5 two-pass heavy-hitter miner (hash count + string recovery)
+    must equal the scalar per-doc-distinct doc-frequency reference on
+    random corpora across n / min_df — pins the refactor's output
+    invariance beyond the single hand-built fixture."""
+    import random
+
+    from collections import Counter
+
+    from importpipeline_spark.operators.dedup import boilerplate_ngrams
+
+    rng = random.Random(1234)
+    vocab = [f"w{i}" for i in range(30)]
+    for trial, (n, min_df) in enumerate([(2, 2), (3, 2), (3, 5), (4, 3)]):
+        rows = [
+            (i, " ".join(rng.choice(vocab)
+                         for _ in range(rng.randint(0, 40))))
+            for i in range(120)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {(r.ngram, r.df)
+               for r in boilerplate_ngrams(df, n=n, min_df=min_df).collect()}
+        c = Counter()
+        for _, text in rows:
+            toks = text.split() if text.strip() else []
+            c.update({" ".join(toks[i:i + n])
+                      for i in range(len(toks) - n + 1)})
+        expect = {(g, k) for g, k in c.items() if k >= min_df}
+        assert got == expect, (trial, n, min_df,
+                               sorted(got ^ expect)[:5])
+
+
 def test_strip_boilerplate_planted(spark):
     """Position-coverage removal: overlapping occurrences union, non-hit
     docs pass through untouched, short docs are safe, and the drop count is
