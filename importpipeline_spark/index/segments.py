@@ -265,7 +265,16 @@ def build_index_resumable(
         # written last; a crash before it simply reruns phase A on resume,
         # while already-lineaged segments stay skipped.
         def _w_docs():
-            docs.drop("tf_pairs").write.mode("overwrite").parquet(docs_path)
+            # same partitioned layout as store.write_index: docs/shard=N/,
+            # so later update/delete merges stage per shard (COW)
+            (
+                docs.drop("tf_pairs")
+                .withColumn("shard", shard_of(F.col("doc_id"), n_shards))
+                .repartition(n_shards, "shard")
+                .write.mode("overwrite")
+                .partitionBy("shard")
+                .parquet(docs_path)
+            )
 
         def _w_errors():
             errors.write.mode("overwrite").parquet(os.path.join(root, "errors"))
@@ -355,8 +364,9 @@ def build_index_resumable(
             # parquet stores text, not tokens, to stay lean; only the
             # missing segments' shards are actually encoded below)
             from ..text.tokenizer import tokenize_udf
+            from .store import read_docs
 
-            docs_df = spark.read.parquet(docs_path)
+            docs_df = read_docs(spark, root)
             docs_tok = docs_df.withColumn("tokens", tokenize_udf(F.col("text")))
             tf = build_tf(docs_tok)
             dl_src = docs_df
@@ -525,8 +535,13 @@ def _rebuild_shards(spark, root: str, affected, n_shards: int,
 
     affected = sorted(int(s) for s in affected)
     docs_df = spark.read.parquet(os.path.join(root, "docs"))
-    sh = shard_of(F.col("doc_id"), n_shards)
-    docs_aff = docs_df.where(sh.isin(affected))
+    if "shard" in docs_df.columns:
+        # partitioned layout: the filter hits the physical partition
+        # column, so the scan lists/reads ONLY the affected shard dirs
+        docs_aff = docs_df.where(F.col("shard").isin(affected)).drop("shard")
+    else:
+        sh = shard_of(F.col("doc_id"), n_shards)
+        docs_aff = docs_df.where(sh.isin(affected))
     docs_tok = docs_aff.withColumn("tokens", tokenize_udf(F.col("text")))
     tf = build_tf(docs_tok).withColumn("shard", shard_of(F.col("doc_id"), n_shards))
     dl = docs_aff.select(F.col("doc_id").alias("dl_doc_id"), "doc_len").withColumn(
@@ -623,6 +638,52 @@ def _update_marker(root: str) -> str:
     return os.path.join(root, "update.json")
 
 
+def _write_docs_tmp_cow(spark, docs_path: str, merged_affected,
+                        affected, n_shards: int) -> None:
+    """Stage the post-merge docs table at ``docs_path + '.tmp'``, copying
+    nothing that did not change.
+
+    ``merged_affected`` must hold exactly the post-merge rows of the
+    ``affected`` shards (logical schema, no shard column). Partitioned
+    layout (docs/shard=N/): those rows are written partitioned and every
+    OTHER shard directory is hard-linked from the live table — the publish
+    path's copy-on-write (_copy_index_tree), so staging cost is O(affected
+    shards) + O(#files) link syscalls, not a corpus rewrite. A flat
+    (pre-partitioned) docs table cannot be merged per shard; the caller
+    passes the FULL merge as ``merged_affected`` with ``affected=None``
+    and this migrates it to the partitioned layout in one rewrite. Either
+    way the caller's whole-dir marker+rename swap — and recover_update —
+    apply unchanged on top: a crash mid-staging leaves docs.tmp garbage
+    that recovery sweeps, never a half-merged live table.
+
+    (The hard-link copy is _copy_index_tree — the generation-publish COW
+    primitive; on filesystems without links it degrades to file copies of
+    the unchanged shards, still never a Spark job.)"""
+    from .store import docs_is_sharded
+
+    docs_tmp = docs_path + ".tmp"
+    shutil.rmtree(docs_tmp, ignore_errors=True)
+    out = merged_affected.withColumn(
+        "shard", shard_of(F.col("doc_id"), n_shards)
+    )
+    if affected is not None and docs_is_sharded(docs_path):
+        aff = {int(a) for a in affected}
+        (
+            out.repartition(max(1, len(aff)), "shard")
+            .write.mode("overwrite").partitionBy("shard").parquet(docs_tmp)
+        )
+        for e in os.listdir(docs_path):
+            if e.startswith("shard=") and int(e.split("=", 1)[1]) not in aff:
+                _copy_index_tree(
+                    os.path.join(docs_path, e), os.path.join(docs_tmp, e)
+                )
+    else:
+        (
+            out.repartition(n_shards, "shard")
+            .write.mode("overwrite").partitionBy("shard").parquet(docs_tmp)
+        )
+
+
 def recover_update(spark: SparkSession, root: str) -> bool:
     """Crash recovery for an interrupted update_index. Returns True if a
     recovery was performed.
@@ -692,7 +753,9 @@ def update_index(
         stats = json.load(f)
     n_shards = int(stats["n_shards"])
     docs_path = os.path.join(root, "docs")
-    old_docs = spark.read.parquet(docs_path)
+    from .store import docs_is_sharded, read_docs
+
+    old_docs = read_docs(spark, root)
 
     changed_pages = incremental_pages(new_pages, old_docs)
     # derive changed docs' ids the way THIS index was built (stats records
@@ -727,12 +790,27 @@ def update_index(
     )
 
     # merged docs table → tmp; then marker; then the two renames. Every
-    # crash window is covered by recover_update (see its docstring).
-    merged = old_docs.join(
+    # crash window is covered by recover_update (see its docstring). Only
+    # the AFFECTED shards' rows are merged and written — a changed url can
+    # never move shards (doc_id = f(url) is deterministic), so per-shard
+    # merges are closed and the staging helper hard-links everything else
+    # (COW): staging cost is O(affected shards), not a corpus rewrite. On
+    # a partitioned layout the filter is on the physical partition column,
+    # so the scan reads only the affected shard directories.
+    sharded = docs_is_sharded(docs_path)
+    if sharded:
+        old_aff = (
+            spark.read.parquet(docs_path)
+            .where(F.col("shard").isin(affected)).drop("shard")
+        )
+    else:
+        old_aff = old_docs
+    merged_aff = old_aff.join(
         changed_docs.select("url"), "url", "left_anti"
     ).unionByName(changed_docs)
+    _write_docs_tmp_cow(spark, docs_path, merged_aff,
+                        affected if sharded else None, n_shards)
     docs_tmp = docs_path + ".tmp"
-    merged.write.mode("overwrite").parquet(docs_tmp)
     changed_docs.unpersist()
 
     marker = _update_marker(root)
@@ -779,7 +857,9 @@ def delete_from_index(
         stats = json.load(f)
     n_shards = int(stats["n_shards"])
     docs_path = os.path.join(root, "docs")
-    old_docs = spark.read.parquet(docs_path)
+    from .store import docs_is_sharded, read_docs
+
+    old_docs = read_docs(spark, root)
 
     urls_only = urls.select("url").distinct()
     doomed = old_docs.join(urls_only, "url", "left_semi").persist()
@@ -793,9 +873,20 @@ def delete_from_index(
     if not affected:
         return PhysicalIndex(root=root, stats=stats)
 
-    merged = old_docs.join(urls_only, "url", "left_anti")
+    # survivors of the affected shards only; everything else hard-links
+    # (COW staging — same shape as update_index's merge)
+    sharded = docs_is_sharded(docs_path)
+    if sharded:
+        base = (
+            spark.read.parquet(docs_path)
+            .where(F.col("shard").isin(affected)).drop("shard")
+        )
+    else:
+        base = old_docs
+    merged_aff = base.join(urls_only, "url", "left_anti")
+    _write_docs_tmp_cow(spark, docs_path, merged_aff,
+                        affected if sharded else None, n_shards)
     docs_tmp = docs_path + ".tmp"
-    merged.write.mode("overwrite").parquet(docs_tmp)
 
     marker = _update_marker(root)
     mk_tmp = marker + ".tmp"

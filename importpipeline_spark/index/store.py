@@ -275,8 +275,18 @@ def write_index(
 
     def _write_docs():
         if write_docs:
-            fused.drop("tf_pairs").write.mode("overwrite").parquet(
-                os.path.join(root, "docs")
+            # partitioned by the SAME doc-range shard key as postings and
+            # doclen: incremental update/delete merge docs per shard (COW
+            # hard links for untouched shards) instead of rewriting the
+            # whole corpus — at 100 TB the docs table IS the corpus. The
+            # extra exchange here is a one-time build cost.
+            (
+                fused.drop("tf_pairs")
+                .withColumn("shard", shard_of(F.col("doc_id"), n_shards))
+                .repartition(n_shards, "shard")
+                .write.mode("overwrite")
+                .partitionBy("shard")
+                .parquet(os.path.join(root, "docs"))
             )
 
     def _stats_row():
@@ -322,3 +332,23 @@ def open_index(root: str) -> PhysicalIndex:
     with open(os.path.join(root, "stats.json")) as f:
         stats = json.load(f)
     return PhysicalIndex(root=root, stats=stats)
+
+
+def read_docs(spark: SparkSession, root: str) -> DataFrame:
+    """The docs table in its LOGICAL schema (no physical partition column).
+
+    docs is stored partitioned by the doc-range shard key (docs/shard=N/)
+    so incremental update/delete can merge per shard with COW hard links
+    for untouched shards; pre-partitioned flat layouts (older indexes, or
+    a recovery that rolled forward a hand-written flat merge) read
+    identically — there is just no shard column to drop."""
+    df = spark.read.parquet(os.path.join(root, "docs"))
+    return df.drop("shard") if "shard" in df.columns else df
+
+
+def docs_is_sharded(docs_dir: str) -> bool:
+    """True when the docs table at ``docs_dir`` uses the partitioned
+    (shard=N/ subdirectory) layout."""
+    return os.path.isdir(docs_dir) and any(
+        e.startswith("shard=") for e in os.listdir(docs_dir)
+    )

@@ -115,8 +115,13 @@ def test_crash_recovery_mid_update(spark, tmp_path):
         for r in cdocs.select(shard_of(F.col("doc_id"), 4).alias("s"))
         .distinct().collect()
     )
-    merged = spark.read.parquet(docs).unionByName(cdocs)
-    merged.write.mode("overwrite").parquet(docs + ".tmp")
+    # mirror the real staging (r5 partitioned docs layout: logical schema
+    # has no shard column; the staged tmp is written partitioned by it)
+    merged = spark.read.parquet(docs).drop("shard").unionByName(cdocs)
+    (
+        merged.withColumn("shard", shard_of(F.col("doc_id"), 4))
+        .write.mode("overwrite").partitionBy("shard").parquet(docs + ".tmp")
+    )
     with open(os.path.join(root, "update.json"), "w") as f:
         json.dump({"affected": affected, "n_shards": 4,
                    "run_id": "crash", "input_snapshot": "snap2"}, f)
@@ -284,3 +289,55 @@ def test_delete_from_index_rank_identical(spark, tmp_path):
     ghost = spark.createDataFrame([("u_ghost",)], "url string")
     pidx2 = delete_from_index(spark, root, ghost, run_id="del2")
     assert pidx2.stats["n_docs"] == 300 - n_del
+
+
+def test_update_docs_merge_is_cow_per_shard(spark, tmp_path):
+    """r5 partitioned docs layout: an update's docs merge stages ONLY the
+    affected shards' rows and HARD-LINKS every other shard directory —
+    pinned by inode identity, so a regression to a full-corpus rewrite
+    (new inodes everywhere) fails loudly. A host re-crawl on a
+    host_locality index must also touch only that host's shard(s)."""
+    import os
+
+    from importpipeline_spark.index.pagesgen import gen_pages_df
+
+    root = str(tmp_path / "cowidx")
+    pages = gen_pages_df(spark, 2000, seed=9, partitions=8, profile="web")
+    write_index(spark, pages, root, n_shards=16, write_docs=True,
+                doc_id_mode="host_locality")
+    docs_dir = os.path.join(root, "docs")
+
+    def inodes():
+        out = {}
+        for d in os.listdir(docs_dir):
+            if d.startswith("shard="):
+                p = os.path.join(docs_dir, d)
+                out[d] = {f: os.stat(os.path.join(p, f)).st_ino
+                          for f in os.listdir(p) if f.endswith(".parquet")}
+        return out
+
+    before = inodes()
+    assert len(before) >= 2, "web corpus must span multiple shard dirs"
+
+    host = F.parse_url(F.col("url"), F.lit("HOST"))
+    top = (pages.groupBy(host.alias("h")).count()
+           .orderBy(F.col("count").desc(), F.col("h").asc()).first())
+    upd = pages.where(host == top["h"]).withColumn(
+        "warc_ts", F.col("warc_ts") + F.expr("INTERVAL 2 HOURS"))
+    pidx = update_index(spark, root, upd, run_id="cow1", input_snapshot="c1")
+    after = inodes()
+
+    rewritten = [d for d in before if after.get(d) != before[d]]
+    hard_linked = [d for d in before if after.get(d) == before[d]]
+    # one host -> one contiguous id range -> at most 2 boundary shards
+    assert 1 <= len(rewritten) <= 2, (rewritten, hard_linked)
+    assert hard_linked, "unaffected shards must be linked, not rewritten"
+    assert pidx.stats["n_docs"] == 2000
+
+    # the merged table still reads back complete and url-unique
+    from importpipeline_spark.index.store import read_docs
+
+    docs = read_docs(spark, root)
+    assert docs.count() == 2000
+    assert docs.select("url").distinct().count() == 2000
+    assert "shard" not in docs.columns
