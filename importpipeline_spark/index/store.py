@@ -4,6 +4,8 @@ Layout (parquet; Iceberg-ready — the same frames can go to ``writeTo`` on a
 cluster with an Iceberg catalog):
 
     <root>/docs/        doc_id, url, warc_ts, text, doc_len, lang
+                        (partitioned by shard — update/delete merge docs
+                        per shard with COW hard links; read via read_docs)
     <root>/doclen/      shard, doc_id, doc_len            (partitioned by shard)
     <root>/postings/    term, block_id, n, min_doc, max_doc, docs_enc,
                         tfs_enc, max_tf, max_score        (partitioned by shard,
