@@ -607,19 +607,58 @@ def _rebuild_shards(spark, root: str, affected, n_shards: int,
     shutil.rmtree(dl_tmp, ignore_errors=True)
 
 
-def _refresh_stats_terms(spark, root: str, run_id: str, input_snapshot: str) -> dict:
+def _docs_shard_totals(spark, root: str, n_shards: int, shards=None) -> dict:
+    """Per-shard (n_docs, total_tokens) from the CURRENT docs table —
+    recomputed from state, never delta-applied, so callers stay idempotent
+    under crash/retry. With the partitioned docs layout and ``shards``
+    given, the scan partition-prunes to those directories only."""
+    docs_df = spark.read.parquet(os.path.join(root, "docs"))
+    if "shard" in docs_df.columns:
+        key = F.col("shard")
+    else:
+        key = shard_of(F.col("doc_id"), n_shards)
+    if shards is not None:
+        docs_df = docs_df.where(key.isin([int(s) for s in shards]))
+    rows = docs_df.groupBy(key.alias("s")).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("doc_len").alias("t")
+    ).collect()
+    return {int(r.s): (int(r.n), int(r.t or 0)) for r in rows}
+
+
+def _refresh_stats_terms(spark, root: str, run_id: str, input_snapshot: str,
+                         affected=None) -> dict:
     """Recompute global stats (exact-int avgdl) and the dictionary from the
-    current docs table + posting block metadata. Idempotent."""
+    current docs table + posting block metadata. Idempotent.
+
+    Stats come from per-shard subtotals kept in stats.json (``shard_stats``):
+    with ``affected`` given, only those shards' subtotals are re-scanned
+    (partition-pruned) and the rest reused — the global agg per update was
+    an O(corpus) doc_len scan for two numbers. Recovery stays correct
+    because affected subtotals are recomputed FROM the current docs table,
+    not delta-applied; re-running produces identical values. An index
+    without recorded subtotals (pre-r5 stats.json) migrates with one full
+    per-shard scan."""
     with open(os.path.join(root, "stats.json")) as f:
         stats = json.load(f)
-    docs_df = spark.read.parquet(os.path.join(root, "docs"))
-    row = docs_df.agg(
-        F.count(F.lit(1)).alias("n"), F.sum("doc_len").alias("t")
-    ).first()
+    n_shards = int(stats["n_shards"])
+    shard_stats = {
+        int(k): (int(v[0]), int(v[1]))
+        for k, v in stats.get("shard_stats", {}).items()
+    }
+    if affected is None or not shard_stats:
+        shard_stats = _docs_shard_totals(spark, root, n_shards)
+    else:
+        fresh = _docs_shard_totals(spark, root, n_shards, shards=affected)
+        for s in affected:
+            shard_stats.pop(int(s), None)
+        shard_stats.update(fresh)
+    n = sum(v[0] for v in shard_stats.values())
+    t = sum(v[1] for v in shard_stats.values())
     stats.update(
-        n_docs=int(row.n),
-        total_tokens=int(row.t or 0),
-        avgdl=(int(row.t or 0) / int(row.n)) if row.n else 0.0,
+        n_docs=n,
+        total_tokens=t,
+        avgdl=(t / n) if n else 0.0,
+        shard_stats={str(k): list(v) for k, v in sorted(shard_stats.items())},
         run_id=run_id,
         input_snapshot=input_snapshot,
         n_errors=_count_error_urls(spark, root),
@@ -715,7 +754,8 @@ def recover_update(spark: SparkSession, root: str) -> bool:
             spark, root, mk["affected"], int(mk["n_shards"]),
             mk["run_id"], mk["input_snapshot"],
         )
-        _refresh_stats_terms(spark, root, mk["run_id"], mk["input_snapshot"])
+        _refresh_stats_terms(spark, root, mk["run_id"], mk["input_snapshot"],
+                             affected=mk["affected"])
         os.remove(marker)
         recovered = True
     shutil.rmtree(docs_old, ignore_errors=True)
@@ -826,7 +866,8 @@ def update_index(
     os.rename(docs_tmp, docs_path)
 
     _rebuild_shards(spark, root, affected, n_shards, run_id, input_snapshot)
-    stats = _refresh_stats_terms(spark, root, run_id, input_snapshot)
+    stats = _refresh_stats_terms(spark, root, run_id, input_snapshot,
+                                 affected=affected)
     os.remove(marker)
     shutil.rmtree(docs_old, ignore_errors=True)
     return PhysicalIndex(root=root, stats=stats)
@@ -901,7 +942,8 @@ def delete_from_index(
     os.rename(docs_tmp, docs_path)
 
     _rebuild_shards(spark, root, affected, n_shards, run_id, input_snapshot)
-    stats = _refresh_stats_terms(spark, root, run_id, input_snapshot)
+    stats = _refresh_stats_terms(spark, root, run_id, input_snapshot,
+                                 affected=affected)
     os.remove(marker)
     shutil.rmtree(docs_old, ignore_errors=True)
     return PhysicalIndex(root=root, stats=stats)
