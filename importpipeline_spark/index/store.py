@@ -10,7 +10,11 @@ cluster with an Iceberg catalog):
     <root>/postings/    term, block_id, n, min_doc, max_doc, docs_enc,
                         tfs_enc, max_tf, max_score        (partitioned by shard,
                         sorted by term within files → row-group term pruning)
-    <root>/terms/       term, df                          (the dictionary)
+    <root>/terms/       term, df, shards                  (the dictionary)
+    <root>/termdf/      term, df             (per-shard sidecars, partitioned
+                        by shard — the update path re-derives only affected
+                        shards' sidecars and aggregates these for the
+                        dictionary instead of re-reading all block metadata)
     <root>/stats.json   n_docs, avgdl, total_tokens, analyzer, k1, b, n_shards
 
 Replaces the ES index + mapping template of the reference
@@ -153,6 +157,90 @@ def write_terms_dictionary_from_tf(tf_sharded: DataFrame, path: str,
     )
 
 
+def termdf_from_postings(postings: DataFrame) -> DataFrame:
+    """Per-shard term document frequencies from posting block metadata:
+    (shard, term, df) with df = Σ block n within the shard. Same derivation
+    as write_terms_dictionary, just not collapsed across shards."""
+    return postings.groupBy("shard", "term").agg(F.sum("n").alias("df"))
+
+
+def termdf_from_tf(tf_sharded: DataFrame) -> DataFrame:
+    """Per-shard term document frequencies from the (doc_id, term, tf, shard)
+    relation: one tf row per (doc, term) pair ≡ one posting entry, so the
+    count equals Σ block n (the write_terms_dictionary_from_tf identity)."""
+    return tf_sharded.groupBy("shard", "term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+
+
+def write_termdf_sidecars(termdf: DataFrame, path: str, n_shards: int) -> None:
+    """Persist per-shard (term, df) sidecars partitioned by shard.
+
+    This is the update path's dictionary state (the shard_stats analogue for
+    terms): update/delete re-derives ONLY the affected shards' sidecars from
+    their re-encoded postings and swaps those directories; the global
+    dictionary then aggregates the skinny sidecar table — it never re-reads
+    posting block metadata across all shards (the r5 O(all-shards) refresh).
+    repartition by shard → each shard's rows land wholly in one task → one
+    file per shard, sorted by term for row-group pruning."""
+    (
+        termdf.repartition(n_shards, "shard")
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+
+
+def write_terms_dictionary_from_termdf(termdf: DataFrame, path: str,
+                                       n_files: int = 4) -> None:
+    """Dictionary from the per-shard term-df sidecars: df = Σ per-shard df,
+    shards = the sidecar's shard set. Content-identical to
+    write_terms_dictionary by construction (sidecars are the same block-n
+    sums, partitioned) — asserted in tests/test_segments.py. Same
+    query-shaped layout (hash by term, sorted within files)."""
+    (
+        termdf.groupBy("term")
+        .agg(
+            F.sum("df").alias("df"),
+            F.sort_array(F.collect_set("shard")).alias("shards"),
+        )
+        .repartition(n_files, "term")
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def _postings_from_sharded(sharded: DataFrame) -> DataFrame:
+    """Encoded posting blocks from the shard-partitioned fused relation.
+
+    Both cogroup sides derive from ``sharded`` (already hash-partitioned by
+    the doc-range shard key), so their required distributions are satisfied
+    and NO exchange is inserted — the whole build has exactly one shuffle,
+    the one that produced ``sharded`` (pinned in tests/test_plans.py). The
+    dl side's key columns are BOTH renamed in-flight (dl_shard, dl_doc_id):
+    tf and dl share a cached parent, and Spark's ambiguous-self-join
+    analysis rejects the cogroup when the two sides share a column's exprId
+    (surfaces when the pages input itself contains a join); alias-aware
+    output partitioning keeps the exchange elided through the rename."""
+    tf = sharded.select(
+        "shard", "doc_id", F.explode("tf_pairs").alias("p")
+    ).select(
+        "shard", "doc_id",
+        F.col("p.term").alias("term"), F.col("p.tf").alias("tf"),
+    )
+    dl = sharded.select(
+        F.col("shard").alias("dl_shard"),
+        F.col("doc_id").alias("dl_doc_id"), "doc_len",
+    )
+    return (
+        tf.groupBy("shard")
+        .cogroup(dl.groupBy("dl_shard"))
+        .applyInPandas(lambda l, r: _encode_shard(l, r), POSTINGS_SCHEMA)
+    )
+
+
 def build_postings_df(tf: DataFrame, doclen: DataFrame, n_shards: int) -> DataFrame:
     """tf ⋈(cogroup by shard) doclen → encoded blocks.
 
@@ -183,13 +271,26 @@ class PhysicalIndex:
     # the latency floor, measured ~0.8s/query even at 64 shards here). A
     # relation resolved ONCE per (session, table) keeps its InMemoryFileIndex,
     # so later queries pay only filter pushdown + partition pruning, exactly
-    # like querying a registered catalog table. Safe to memoize: no writer
-    # mutates an opened handle — every update/compact/publish path returns a
-    # fresh PhysicalIndex (segments.py), so a handle's file set is immutable.
+    # like querying a registered catalog table.
+    #
+    # Invalidation contract: a handle is a SNAPSHOT of the root it opened.
+    # update_index / delete_from_index / compact rewrite files under the same
+    # root in place, so any handle opened BEFORE such an operation is stale
+    # afterwards (its cached file listing points at unlinked files) — those
+    # paths call ``invalidate()`` on nothing automatically; callers must
+    # re-open (open_index) after mutating a root, which is what every
+    # in-repo caller does (segments.py returns a fresh PhysicalIndex). The
+    # published-generation flow never hits this: each generation is a new
+    # immutable directory. Keyed by applicationId (stable for the life of a
+    # session, never aliased by id() reuse after GC).
     _rels: dict = field(default_factory=dict, repr=False, compare=False)
 
+    def invalidate(self) -> None:
+        """Drop memoized relations (call after in-place mutation of root)."""
+        self._rels.clear()
+
     def _rel(self, spark: SparkSession, name: str, path: str) -> DataFrame:
-        key = (id(spark), name)
+        key = (spark.sparkContext.applicationId, name)
         df = self._rels.get(key)
         if df is None:
             df = spark.read.parquet(path)
@@ -243,12 +344,25 @@ def write_index(
 
     from concurrent.futures import ThreadPoolExecutor
 
-    fused = build_docs_and_tf(pages, doc_id_mode).persist()
-    tf = fused.select(
-        "doc_id", F.explode("tf_pairs").alias("p")
-    ).select("doc_id", F.col("p.term").alias("term"), F.col("p.tf").alias("tf"))
-    doclen = fused.select("doc_id", "doc_len")
-    postings = build_postings_df(tf, doclen, n_shards).persist()
+    fused = build_docs_and_tf(pages, doc_id_mode)
+    # ONE corpus-volume exchange for the whole build: hash-repartition the
+    # fused pass output by the doc-range shard key and cache THAT. Every
+    # output — postings (cogroup), docs, doclen, stats, term-df sidecars —
+    # derives from this single partitioning: the cogroup's two sides inherit
+    # HashPartitioning(shard, n_shards) so its exchanges are elided
+    # (pinned in tests/test_plans.py), and the docs/doclen writes are
+    # partitionBy over the cached layout with no further shuffle. The old
+    # shape shuffled the corpus twice (exploded tf for the cogroup + full
+    # text for docs) plus a third skinny doclen exchange. With
+    # write_docs=False only the skinny (doc_id, doc_len, tf_pairs)
+    # projection exchanges — the text never shuffles at all.
+    keep = fused if write_docs else fused.select("doc_id", "doc_len", "tf_pairs")
+    sharded = (
+        keep.withColumn("shard", shard_of(F.col("doc_id"), n_shards))
+        .repartition(n_shards, "shard")
+        .persist()
+    )
+    postings = _postings_from_sharded(sharded).persist()
     # the cogroup kernel emits whole shards, already sorted by (term, block):
     # write directly — no second exchange, ≤1 file per shard per task, and
     # term row-group stats stay monotone for scan pruning
@@ -264,8 +378,7 @@ def write_index(
     # these tails were a serial fraction that capped N→4N scaling
     def _write_doclen():
         (
-            doclen.withColumn("shard", shard_of(F.col("doc_id"), n_shards))
-            .repartition(n_shards, "shard")
+            sharded.select("shard", "doc_id", "doc_len")
             .sortWithinPartitions("doc_id")
             .write.mode("overwrite")
             .partitionBy("shard")
@@ -275,36 +388,44 @@ def write_index(
     def _write_terms():
         write_terms_dictionary(postings, os.path.join(root, "terms"), dict_files)
 
+    def _write_termdf():
+        # per-shard dictionary state for O(affected-shards) incremental
+        # refresh (segments._refresh_stats_terms)
+        write_termdf_sidecars(
+            termdf_from_postings(postings),
+            os.path.join(root, "termdf"), n_shards,
+        )
+
     def _write_docs():
         if write_docs:
             # partitioned by the SAME doc-range shard key as postings and
             # doclen: incremental update/delete merge docs per shard (COW
             # hard links for untouched shards) instead of rewriting the
-            # whole corpus — at 100 TB the docs table IS the corpus. The
-            # extra exchange here is a one-time build cost.
+            # whole corpus — at 100 TB the docs table IS the corpus. No
+            # exchange: the rows are already shard-partitioned in the cache.
             (
-                fused.drop("tf_pairs")
-                .withColumn("shard", shard_of(F.col("doc_id"), n_shards))
-                .repartition(n_shards, "shard")
+                sharded.drop("tf_pairs")
                 .write.mode("overwrite")
                 .partitionBy("shard")
                 .parquet(os.path.join(root, "docs"))
             )
 
     def _stats_row():
-        return fused.agg(
+        return sharded.agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("doc_len").alias("total_tokens"),
         ).first()
 
-    with ThreadPoolExecutor(max_workers=4) as ex:
+    with ThreadPoolExecutor(max_workers=5) as ex:
         f_dl = ex.submit(_write_doclen)
         f_tm = ex.submit(_write_terms)
+        f_td = ex.submit(_write_termdf)
         f_dc = ex.submit(_write_docs)
         f_st = ex.submit(_stats_row)
         row = f_st.result()
         f_dl.result()
         f_tm.result()
+        f_td.result()
         f_dc.result()
     postings.unpersist()
     n_docs = int(row.n_docs)
@@ -326,7 +447,7 @@ def write_index(
     os.makedirs(root, exist_ok=True)
     with open(os.path.join(root, "stats.json"), "w") as f:
         json.dump(stats, f)
-    fused.unpersist()
+    sharded.unpersist()
     return PhysicalIndex(root=root, stats=stats)
 
 

@@ -175,3 +175,63 @@ def test_minhash_verification_single_shingle_pass(spark):
     assert plan.count("InMemoryTableScan") >= 3, plan
     assert len(got.cached_deps) == 2
     release_cache(got)
+
+
+def _nodes_above_cache(df):
+    """Physical-plan node names from the root down to (and including) the
+    first InMemoryTableScan on each branch — i.e. everything OUTSIDE the
+    cached subtree. An Exchange here means the cache's partitioning was not
+    reused."""
+    node = df._jdf.queryExecution().executedPlan()
+    if node.nodeName() == "AdaptiveSparkPlan":
+        node = node.initialPlan()
+    names = []
+
+    def rec(n):
+        nm = n.nodeName()
+        names.append(nm)
+        if "InMemoryTableScan" in nm:
+            return
+        ch = n.children()
+        for i in range(ch.size()):
+            rec(ch.apply(i))
+
+    rec(node)
+    return names
+
+
+def test_build_outputs_share_one_exchange(spark):
+    """r6 (VERDICT r5 #2): write_index's outputs — postings cogroup, docs
+    table, doclen — all derive from ONE corpus-volume exchange (the
+    shard repartition that feeds the cache). The cogroup's two sides and
+    both writes must sit directly on the cached partitioning with no
+    further Exchange; a regression re-introduces a full-text shuffle per
+    output at 100 TB."""
+    from importpipeline_spark.index.build import build_docs_and_tf, shard_of
+    from importpipeline_spark.index.pagesgen import gen_pages_df
+    from importpipeline_spark.index.store import _postings_from_sharded
+
+    pages = gen_pages_df(spark, 200, seed=5)
+    fused = build_docs_and_tf(pages)
+    sharded = (
+        fused.withColumn("shard", shard_of(F.col("doc_id"), 4))
+        .repartition(4, "shard")
+        .persist()
+    )
+    try:
+        sharded.count()
+        cg = _nodes_above_cache(_postings_from_sharded(sharded))
+        assert "FlatMapCoGroupsInPandas" in cg, cg
+        assert sum("InMemoryTableScan" in n for n in cg) == 2, cg
+        assert not any("Exchange" in n for n in cg), cg
+
+        docs_write = _nodes_above_cache(sharded.drop("tf_pairs"))
+        assert not any("Exchange" in n for n in docs_write), docs_write
+
+        dl_write = _nodes_above_cache(
+            sharded.select("shard", "doc_id", "doc_len")
+            .sortWithinPartitions("doc_id")
+        )
+        assert not any("Exchange" in n for n in dl_write), dl_write
+    finally:
+        sharded.unpersist()

@@ -91,6 +91,25 @@ def test_kill_and_resume_bit_identical(spark, tmp_path):
     assert ta["df"].tolist() == tb["df"].tolist()
     assert ta["shards"].tolist() == tb["shards"].tolist()
 
+    # every build flavor leaves the per-shard term-df sidecars in place
+    # (the update path's dictionary state), and the sidecar-derived
+    # dictionary is content-identical to the written one
+    from importpipeline_spark.index.segments import (
+        _derive_dictionary_from_sidecars,
+    )
+
+    for root in (clean_root, crash_root, full_root):
+        assert os.path.isdir(os.path.join(root, "termdf")), root
+    chk_path = str(tmp_path / "terms_from_sidecars")
+    _derive_dictionary_from_sidecars(spark, clean_root, chk_path)
+    parts = sorted(glob.glob(os.path.join(chk_path, "*.parquet")))
+    tc = pd.concat([pd.read_parquet(p) for p in parts], ignore_index=True)
+    tc["shards"] = tc["shards"].map(lambda a: tuple(int(x) for x in a))
+    tc = tc.sort_values("term").reset_index(drop=True)
+    assert tc["term"].tolist() == ta["term"].tolist()
+    assert tc["df"].tolist() == ta["df"].tolist()
+    assert tc["shards"].tolist() == ta["shards"].tolist()
+
     # lineage carries per-segment counters + metrics (SURVEY §7.1, mirroring
     # DatasourceReport — ImportReport.cs:92-209), not just status
     rows = read_lineage(spark, crash_root).collect()
