@@ -437,13 +437,34 @@ uniform-corpus headline within noise.
 def headline() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    # ---- measurement-window self-certification (VERDICT r5 #1) ----
+    # This host's load comes in waves and identical probes swing 2-10x
+    # under neighbor load (CLAUDE.md 11); a graded artifact must record the
+    # conditions it was measured under. Gate: wait (bounded) for 1-min load
+    # < 1.5 before starting; telemetry: os.getloadavg() at start and at
+    # every probe boundary, all emitted in the JSON so a noisy window is
+    # diagnosable post-hoc instead of masquerading as a regression.
+    gate_limit = float(os.environ.get("SPARK_GRAFT_QUIET_WAIT_SEC", "600"))
+    gate_thresh = float(os.environ.get("SPARK_GRAFT_QUIET_LOAD", "1.5"))
+    gate_waited = 0.0
+    while os.getloadavg()[0] > gate_thresh and gate_waited < gate_limit:
+        print(f"[bench] load {os.getloadavg()[0]:.2f} > {gate_thresh}; "
+              f"waiting ({gate_waited:.0f}s/{gate_limit:.0f}s)",
+              file=sys.stderr, flush=True)
+        time.sleep(15)
+        gate_waited += 15
+    load_start = [round(x, 2) for x in os.getloadavg()]
+    load_marks: dict = {}
     _t_start = time.perf_counter()
 
     def _mark(what: str) -> None:
         # progress breadcrumbs on stderr (the JSON contract line stays the
         # only stdout output) — lets a wrapped/timed-out run show where the
-        # wall clock went
-        print(f"[bench +{time.perf_counter() - _t_start:7.1f}s] {what}",
+        # wall clock went; per-mark 1-min load lands in the JSON
+        load_marks[what] = round(os.getloadavg()[0], 2)
+        print(f"[bench +{time.perf_counter() - _t_start:7.1f}s] "
+              f"load={load_marks[what]:5.2f} {what}",
               file=sys.stderr, flush=True)
     from importpipeline_spark.session import get_spark
     import __spark_entry__ as entry_mod
@@ -826,6 +847,14 @@ def headline() -> None:
         "bench_docs": n_docs,
         "timing": "min_of_2_per_probe",
         "pretrain_corpus_stages": pc_stats,
+        # measurement-window telemetry: a graded artifact self-certifies
+        # the load it was taken under (see CLAUDE.md 11)
+        "load": {
+            "start_1_5_15": load_start,
+            "gate_waited_sec": round(gate_waited, 0),
+            "max_1min_seen": max(load_marks.values()) if load_marks else None,
+            "at_mark": load_marks,
+        },
     }))
     spark.stop()
 

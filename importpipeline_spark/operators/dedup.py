@@ -55,15 +55,34 @@ class CapReport:
     dropped_rows: int
 
 
+def release_checkpoint(df: DataFrame) -> None:
+    """Deterministically free the storage blocks of a localCheckpoint'd
+    frame. ``unpersist()`` is a no-op for checkpointed frames (their blocks
+    live outside the CacheManager); without this they linger until a driver
+    GC lets the ContextCleaner run, accumulating executor storage across
+    repeated pipeline runs in shared bench/pytest sessions. Only safe after
+    the frame's consumers are fully materialized: a checkpoint has no
+    lineage, so a post-release recompute FAILS rather than recomputes.
+    No-op for non-checkpointed frames."""
+    try:
+        lp = df._jdf.queryExecution().logical()
+        if lp.getClass().getSimpleName() == "LogicalRDD":
+            lp.rdd().unpersist(False)
+    except Exception:
+        pass  # best-effort: never poison a cleanup path
+
+
 def release_cache(df: DataFrame) -> None:
     """Release the resources a dedup/similarity operator pinned while
-    building ``df``: unpersist frames attached as ``df.cached_deps`` and
-    destroy broadcasts attached as ``df.broadcast_deps`` (e.g. ivf_build's
-    centroid matrix). Call after the result is materialized (collect/write)
-    in long-lived sessions — the resources are only useful while the
-    returned plan may still re-execute."""
+    building ``df``: unpersist frames attached as ``df.cached_deps``
+    (including the blocks of localCheckpoint'd deps, e.g. the CC labels)
+    and destroy broadcasts attached as ``df.broadcast_deps`` (e.g.
+    ivf_build's centroid matrix). Call after the result is materialized
+    (collect/write) in long-lived sessions — once released, the returned
+    plan must not re-execute (checkpointed deps cannot recompute)."""
     for dep in getattr(df, "cached_deps", []):
         dep.unpersist()
+        release_checkpoint(dep)
     for bc in getattr(df, "broadcast_deps", []):
         bc.destroy()
 

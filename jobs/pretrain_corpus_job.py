@@ -130,6 +130,7 @@ def run_pipeline(
     # 3. boilerplate removal: mine cross-document repeated trigrams above
     # the df-fraction threshold, strip every covered token (exact per-doc
     # drop accounting — the report records total tokens removed)
+    bp_ckpt = None
     if boilerplate_df_frac and stats["after_quality"]:
         min_df = max(2, int(boilerplate_df_frac * stats["after_quality"]))
         mined = boilerplate_ngrams(
@@ -146,17 +147,16 @@ def run_pipeline(
             # every stage after this one (CLAUDE.md 10, same failure class
             # as the CC loop livelock). Checkpointing truncates the logical
             # plan to a LogicalRDD and doubles as the stage materialization.
-            docs2b = (
+            bp_ckpt = (
                 docs2.drop("text")
                 .join(stripped.select("doc_id", "text", "n_removed"), "doc_id")
                 .localCheckpoint()
             )
             stats["boilerplate_tokens_removed"] = int(
-                docs2b.agg(F.sum("n_removed")).first()[0] or 0
+                bp_ckpt.agg(F.sum("n_removed")).first()[0] or 0
             )
-            docs2b = docs2b.drop("n_removed")
             docs2.unpersist()
-            docs2 = docs2b
+            docs2 = bp_ckpt.drop("n_removed")
         else:
             stats["boilerplate_tokens_removed"] = 0
         mined.unpersist()
@@ -243,6 +243,14 @@ def run_pipeline(
     docs5.unpersist()
     docs4.unpersist()
     docs3.unpersist()
+    if bp_ckpt is not None:
+        # localCheckpoint blocks live outside the CacheManager — free them
+        # deterministically (unpersist above is a no-op for them; otherwise
+        # repeated run_pipeline calls in a shared session accumulate
+        # executor storage until a driver GC)
+        from importpipeline_spark.operators.dedup import release_checkpoint
+
+        release_checkpoint(bp_ckpt)
     _lap("scrub_sample_write")
     return stats
 
