@@ -308,8 +308,20 @@ to a 10^12-document build in the tens of hours; the per-stage exchange
 inventory is in PLANS.md.
 """
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
-        f.write(md)
+    path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    # preserve the independently-measured trailing sections (crash-safe /
+    # web-corpus scaling) — a headline refresh must not drop them
+    extra = ""
+    if os.path.exists(path):
+        with open(path) as f:
+            old = f.read()
+        for marker in (_RESUMABLE_SECTION, _WEB_SECTION):
+            if marker in old:
+                seg = old[old.index(marker):]
+                nxt = seg.find("\n## ", 1)
+                extra += "\n" + (seg if nxt < 0 else seg[:nxt]).rstrip() + "\n"
+    with open(path, "w") as f:
+        f.write(md + extra)
     print(json.dumps({"metric": "scaling_efficiency", "value": head["eff"],
                       "normalized_by_cpu_ceiling": head["eff_norm"],
                       "unit": "ratio", "pairs": measured}))
@@ -445,27 +457,61 @@ def headline() -> None:
     # < 1.5 before starting; telemetry: os.getloadavg() at start and at
     # every probe boundary, all emitted in the JSON so a noisy window is
     # diagnosable post-hoc instead of masquerading as a regression.
+    def _cpu_counters():
+        with open("/proc/stat") as f:
+            v = list(map(int, f.readline().split()[1:]))
+        # (busy_non_steal, idle, steal, total)
+        idle = v[3] + v[4]
+        steal = v[7] if len(v) > 7 else 0
+        return sum(v) - idle - steal, idle, steal, sum(v)
+
+    def _cpu_window(seconds: float = 1.0):
+        a = _cpu_counters()
+        time.sleep(seconds)
+        b = _cpu_counters()
+        tot = max(1, b[3] - a[3])
+        return {  # fractions over the sample window
+            "busy": round((b[0] - a[0]) / tot, 4),
+            "idle": round((b[1] - a[1]) / tot, 4),
+            "steal": round((b[2] - a[2]) / tot, 4),
+        }
+
+    # Gate on INSTANTANEOUS idle, not loadavg: loadavg decays for minutes
+    # after our own finished runs while the CPU is already free, and a
+    # busy/stealing neighbor is visible in /proc/stat immediately.
     gate_limit = float(os.environ.get("SPARK_GRAFT_QUIET_WAIT_SEC", "600"))
-    gate_thresh = float(os.environ.get("SPARK_GRAFT_QUIET_LOAD", "1.5"))
+    gate_busy = float(os.environ.get("SPARK_GRAFT_QUIET_BUSY", "0.10"))
     gate_waited = 0.0
-    while os.getloadavg()[0] > gate_thresh and gate_waited < gate_limit:
-        print(f"[bench] load {os.getloadavg()[0]:.2f} > {gate_thresh}; "
-              f"waiting ({gate_waited:.0f}s/{gate_limit:.0f}s)",
+    win = _cpu_window()
+    while (win["busy"] + win["steal"]) > gate_busy and gate_waited < gate_limit:
+        print(f"[bench] cpu busy={win['busy']:.2f} steal={win['steal']:.2f} "
+              f"> {gate_busy}; waiting ({gate_waited:.0f}s/{gate_limit:.0f}s)",
               file=sys.stderr, flush=True)
-        time.sleep(15)
+        time.sleep(14)
         gate_waited += 15
+        win = _cpu_window()
     load_start = [round(x, 2) for x in os.getloadavg()]
+    cpu_start = win
     load_marks: dict = {}
+    steal_marks: dict = {}
+    _cpu_last = _cpu_counters()
     _t_start = time.perf_counter()
 
     def _mark(what: str) -> None:
         # progress breadcrumbs on stderr (the JSON contract line stays the
         # only stdout output) — lets a wrapped/timed-out run show where the
-        # wall clock went; per-mark 1-min load lands in the JSON
+        # wall clock went; per-segment 1-min load + STEAL fraction land in
+        # the JSON (our own load is expected — steal is the neighbor
+        # signature on this shared VM)
+        nonlocal _cpu_last
+        cur = _cpu_counters()
+        tot = max(1, cur[3] - _cpu_last[3])
+        steal_marks[what] = round((cur[2] - _cpu_last[2]) / tot, 4)
+        _cpu_last = cur
         load_marks[what] = round(os.getloadavg()[0], 2)
         print(f"[bench +{time.perf_counter() - _t_start:7.1f}s] "
-              f"load={load_marks[what]:5.2f} {what}",
-              file=sys.stderr, flush=True)
+              f"load={load_marks[what]:5.2f} steal={steal_marks[what]:.3f} "
+              f"{what}", file=sys.stderr, flush=True)
     from importpipeline_spark.session import get_spark
     import __spark_entry__ as entry_mod
 
@@ -851,9 +897,12 @@ def headline() -> None:
         # the load it was taken under (see CLAUDE.md 11)
         "load": {
             "start_1_5_15": load_start,
+            "cpu_at_start": cpu_start,
             "gate_waited_sec": round(gate_waited, 0),
             "max_1min_seen": max(load_marks.values()) if load_marks else None,
+            "max_steal_seen": max(steal_marks.values()) if steal_marks else None,
             "at_mark": load_marks,
+            "steal_at_mark": steal_marks,
         },
     }))
     spark.stop()
