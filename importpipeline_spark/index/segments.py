@@ -43,6 +43,7 @@ from .build import (
     build_docs_safe,
     build_tf,
     corpus_stats,
+    doc_id_expr,
     shard_of,
 )
 from .codec import BLOCK_SIZE
@@ -814,6 +815,39 @@ def _write_docs_tmp_cow(spark, docs_path: str, merged_affected,
         )
 
 
+def _shards_of_urls(with_urls: DataFrame, doc_id_mode: str,
+                    n_shards: int) -> list:
+    """Doc-range shards the given urls' ids map to. doc_id = f(url) is
+    deterministic and mode-recorded, so an incoming url's EXISTING copy (if
+    any) can only live in the shard its id maps to — existence probes can
+    therefore partition-prune the docs scan to these shards before any
+    join. One skinny job over the update input (urls only, no extraction)."""
+    return sorted(
+        int(r.s)
+        for r in with_urls.select(
+            shard_of(doc_id_expr(doc_id_mode), n_shards).alias("s")
+        ).distinct().collect()
+    )
+
+
+def _docs_pruned_to_shards(spark, root: str, old_docs: DataFrame,
+                           shards: list) -> DataFrame:
+    """The docs table restricted to the given shards — on the partitioned
+    layout the filter hits the physical partition column, so the scan
+    lists/reads ONLY those shard directories (update cost stays O(update),
+    not O(corpus)). Flat legacy layouts fall back to the full table."""
+    from .store import docs_is_sharded
+
+    docs_path = os.path.join(root, "docs")
+    if docs_is_sharded(docs_path):
+        return (
+            spark.read.parquet(docs_path)
+            .where(F.col("shard").isin([int(s) for s in shards]))
+            .drop("shard")
+        )
+    return old_docs
+
+
 def recover_update(spark: SparkSession, root: str) -> bool:
     """Crash recovery for an interrupted update_index. Returns True if a
     recovery was performed.
@@ -870,8 +904,13 @@ def update_index(
     3. rebuild postings ONLY for the doc-range shards that contain changed
        docs — untouched shards' blocks stay valid because block bounds are
        stats-independent (max_tf, min_dl; see codec.py);
-    4. refresh doclen for affected shards, global stats, and the dictionary
-       (df per term re-derived from block metadata across ALL shards).
+    4. refresh doclen + term-df sidecars for affected shards, global stats
+       from per-shard subtotals, and the dictionary from the sidecar table
+       (never a block-metadata scan across shards — r6).
+
+    Every docs-table read on this path is partition-pruned to the shards
+    the incoming urls' ids map to; total update cost is O(update size +
+    affected shards + vocab), independent of corpus size.
 
     The result is rank-identical to a full rebuild over the merged corpus;
     a kill at ANY point leaves the index recoverable via recover_update
@@ -888,7 +927,16 @@ def update_index(
 
     old_docs = read_docs(spark, root)
 
-    changed_pages = incremental_pages(new_pages, old_docs)
+    # the existence probe joins on url, and an incoming url's existing copy
+    # can only live in the shard its (mode-recorded) id maps to — so the
+    # classification scan prunes to the incoming ids' shards instead of
+    # reading url+warc_ts across the whole corpus (r6; the last O(corpus)
+    # read on the update path)
+    in_shards = _shards_of_urls(
+        new_pages, stats.get("doc_id_mode", "hash"), n_shards
+    )
+    old_probe = _docs_pruned_to_shards(spark, root, old_docs, in_shards)
+    changed_pages = incremental_pages(new_pages, old_probe)
     # derive changed docs' ids the way THIS index was built (stats records
     # the mode): a hash-id derivation over a host_locality index would
     # re-index every changed url under a second id and strand the old
@@ -929,13 +977,7 @@ def update_index(
     # a partitioned layout the filter is on the physical partition column,
     # so the scan reads only the affected shard directories.
     sharded = docs_is_sharded(docs_path)
-    if sharded:
-        old_aff = (
-            spark.read.parquet(docs_path)
-            .where(F.col("shard").isin(affected)).drop("shard")
-        )
-    else:
-        old_aff = old_docs
+    old_aff = _docs_pruned_to_shards(spark, root, old_docs, affected)
     merged_aff = old_aff.join(
         changed_docs.select("url"), "url", "left_anti"
     ).unionByName(changed_docs)
@@ -994,7 +1036,13 @@ def delete_from_index(
     old_docs = read_docs(spark, root)
 
     urls_only = urls.select("url").distinct()
-    doomed = old_docs.join(urls_only, "url", "left_semi").persist()
+    # same pruning as update_index's existence probe: a doomed url's doc can
+    # only live in the shard its (mode-recorded) id maps to
+    cand_shards = _shards_of_urls(
+        urls_only, stats.get("doc_id_mode", "hash"), n_shards
+    )
+    probe = _docs_pruned_to_shards(spark, root, old_docs, cand_shards)
+    doomed = probe.join(urls_only, "url", "left_semi").persist()
     affected = sorted(
         int(r.s)
         for r in doomed.select(
@@ -1008,13 +1056,7 @@ def delete_from_index(
     # survivors of the affected shards only; everything else hard-links
     # (COW staging — same shape as update_index's merge)
     sharded = docs_is_sharded(docs_path)
-    if sharded:
-        base = (
-            spark.read.parquet(docs_path)
-            .where(F.col("shard").isin(affected)).drop("shard")
-        )
-    else:
-        base = old_docs
+    base = _docs_pruned_to_shards(spark, root, old_docs, affected)
     merged_aff = base.join(urls_only, "url", "left_anti")
     _write_docs_tmp_cow(spark, docs_path, merged_aff,
                         affected if sharded else None, n_shards)

@@ -443,3 +443,61 @@ def test_termdf_migration_on_legacy_index(spark, tmp_path):
         return sorted((x.term, x.df, tuple(x.shards)) for x in df.collect())
 
     assert frame(root) == frame(full_root)
+
+
+def test_update_existence_probe_is_partition_pruned(spark, tmp_path):
+    """r6: the update path's existence probe (classify/incremental_pages)
+    scans ONLY the shards the incoming urls' ids map to — doc_id = f(url)
+    is deterministic, so an existing copy cannot live anywhere else. Pinned
+    two ways: the physical plan carries a shard PartitionFilter, and the
+    pruned classification equals the unpruned one."""
+    import io
+    import os
+    from contextlib import redirect_stdout
+
+    from importpipeline_spark.index.pagesgen import gen_pages_df
+    from importpipeline_spark.index.segments import (
+        _docs_pruned_to_shards,
+        _shards_of_urls,
+        incremental_pages,
+    )
+    from importpipeline_spark.index.store import read_docs
+
+    root = str(tmp_path / "pruneidx")
+    pages = gen_pages_df(spark, 1000, seed=4, partitions=8, profile="web")
+    write_index(spark, pages, root, n_shards=16, write_docs=True,
+                doc_id_mode="host_locality")
+
+    host = F.parse_url(F.col("url"), F.lit("HOST"))
+    top = (pages.groupBy(host.alias("h")).count()
+           .orderBy(F.col("count").desc(), F.col("h").asc()).first())
+    upd = pages.where(host == top["h"]).withColumn(
+        "warc_ts", F.col("warc_ts") + F.expr("INTERVAL 2 HOURS"))
+
+    in_shards = _shards_of_urls(upd, "host_locality", 16)
+    assert 1 <= len(in_shards) <= 2  # one host → contiguous id range
+    old_docs = read_docs(spark, root)
+    probe = _docs_pruned_to_shards(spark, root, old_docs, in_shards)
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        incremental_pages(upd, probe).explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    assert "shard" in plan.split("PartitionFilters", 1)[1][:200], plan
+
+    got = sorted(r.url for r in incremental_pages(upd, probe).collect())
+    want = sorted(r.url for r in incremental_pages(upd, old_docs).collect())
+    assert got == want and len(got) == int(top["count"])
+
+    # and the full update over the pruned path stays rank-identical
+    pidx = update_index(spark, root, upd, run_id="pr1", input_snapshot="p1")
+    merged = pages.join(upd.select("url"), "url", "left_anti").unionByName(upd)
+    full_root = str(tmp_path / "prunefull")
+    pidx_full = write_index(spark, merged, full_root, n_shards=16,
+                            write_docs=True, doc_id_mode="host_locality")
+    a = [(r.doc_id, round(r.score, 6))
+         for r in bm25_topk_wand(spark, pidx, "the", k=10).collect()]
+    b = [(r.doc_id, round(r.score, 6))
+         for r in bm25_topk_wand(spark, pidx_full, "the", k=10).collect()]
+    assert a == b
