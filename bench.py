@@ -358,8 +358,10 @@ barrier).
 
 Round-4 path changes folded the per-batch counter job and the dictionary's
 full posting re-read into the encode pass itself (sidecar counters + cached
-tf aggregation); the crash-safe overhead vs the straight-through build is
-~1.0-1.15x across measurement windows (bench probe resumable_vs_full).
+tf aggregation); the crash-safe overhead vs the straight-through build
+measures 0.87-1.15x across windows (bench probe resumable_vs_full) —
+noise-dominated at this input size, i.e. within window noise of 1.0
+(observed points and the noise envelope: PLANS section 13/18).
 Absolute per-level times move with neighbor load window-to-window — the
 single-threaded level most of all — which is why the protocol interleaves
 repeats, takes per-level minima, and reads efficiency against the
