@@ -36,6 +36,7 @@ from datetime import datetime, timezone
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..text.tokenizer import ANALYZER_VERSION
+from . import deltas as _deltas
 from .build import (
     K1,
     B,
@@ -559,22 +560,62 @@ def _backfill_termdf(spark: SparkSession, root: str, n_shards: int) -> None:
 
 def _derive_dictionary_from_sidecars(spark: SparkSession, root: str,
                                      out_path: str,
-                                     dict_files: int = 4) -> None:
+                                     dict_files: int = 4,
+                                     delta_gens=None) -> None:
     """Dictionary from the per-shard term-df sidecars ONLY — never touches
     the postings files (pinned in tests: derivation still works with the
     postings directory moved away). The aggregation input is the skinny
     (shard, term, df) table; the update path keeps it current per shard
     (_rebuild_shards), so this is the O(affected-shards)-update dictionary
-    refresh VERDICT r5 #3 asked for."""
+    refresh VERDICT r5 #3 asked for.
+
+    With delta generations (r7 LSM update path) the base sidecars describe
+    the base postings' block metadata and each generation's sidecar carries
+    SIGNED adjustments (+new versions, -shadowed versions); the live df per
+    (shard, term) is their sum, and a shard drops out of a term's shard
+    list when its net df reaches 0 — exactly the state a full rebuild's
+    dictionary would record. Without deltas the base table is passed
+    through un-aggregated (the r6 fast path)."""
+    if delta_gens is None:
+        try:
+            with open(os.path.join(root, "stats.json")) as f:
+                delta_gens = json.load(f).get("delta_gens", [])
+        except FileNotFoundError:
+            delta_gens = []
+    frames = []
     p = os.path.join(root, "termdf")
     try:
-        termdf = spark.read.option("basePath", p).parquet(p)
+        frames.append(
+            spark.read.option("basePath", p).parquet(p)
+            .select("term", F.col("df").cast("long").alias("df"), "shard")
+        )
     except Exception:
+        pass
+    dp = os.path.join(root, "delta_termdf")
+    if delta_gens and os.path.isdir(dp):
+        try:
+            d = spark.read.option("basePath", dp).parquet(dp)
+            frames.append(
+                d.where(F.col("gen").isin([int(g) for g in delta_gens]))
+                .select("term", F.col("df").cast("long").alias("df"), "shard")
+            )
+        except Exception:
+            pass
+    if not frames:
         (
             spark.createDataFrame([], "term string, df long, shards array<int>")
             .write.mode("overwrite").parquet(out_path)
         )
         return
+    termdf = frames[0]
+    for extra in frames[1:]:
+        termdf = termdf.unionByName(extra)
+    if len(frames) > 1:
+        termdf = (
+            termdf.groupBy("shard", "term").agg(F.sum("df").alias("df"))
+            .where(F.col("df") > 0)
+            .select("term", "df", "shard")
+        )
     write_terms_dictionary_from_termdf(termdf, out_path, dict_files)
 
 
@@ -690,6 +731,12 @@ def _rebuild_shards(spark, root: str, affected, n_shards: int,
     shutil.rmtree(post_tmp, ignore_errors=True)
     shutil.rmtree(dl_tmp, ignore_errors=True)
     shutil.rmtree(termdf_tmp, ignore_errors=True)
+    # the freshly encoded base now carries these shards' full live state —
+    # their delta-segment data (postings/doclen/termdf across ALL
+    # generations) is folded and must go, or queries would double-count.
+    # Still inside the caller's marker window: a crash here re-runs the
+    # whole (idempotent) rebuild + purge.
+    _deltas.purge_shards(root, affected)
 
 
 def _docs_shard_totals(spark, root: str, n_shards: int, shards=None) -> dict:
@@ -711,7 +758,7 @@ def _docs_shard_totals(spark, root: str, n_shards: int, shards=None) -> dict:
 
 
 def _refresh_stats_terms(spark, root: str, run_id: str, input_snapshot: str,
-                         affected=None) -> dict:
+                         affected=None, new_gen=None) -> dict:
     """Recompute global stats (exact-int avgdl) and the dictionary from the
     current docs table + posting block metadata. Idempotent.
 
@@ -748,6 +795,17 @@ def _refresh_stats_terms(spark, root: str, run_id: str, input_snapshot: str,
         input_snapshot=input_snapshot,
         n_errors=_count_error_urls(spark, root),
     )
+    # delta-generation bookkeeping: the atomic stats.json replace below IS
+    # the reader-visible commit of ``new_gen`` (its directories were renamed
+    # into place by the caller/recovery before this runs); generations whose
+    # data compaction fully folded into the base drop out. Idempotent —
+    # everything derives from the marker + on-disk state.
+    gens = {int(g) for g in stats.get("delta_gens", [])}
+    if new_gen is not None:
+        gens.add(int(new_gen))
+        stats["last_gen"] = max(int(stats.get("last_gen", 0)), int(new_gen))
+    gens &= _deltas.live_gens_on_disk(root)
+    stats["delta_gens"] = sorted(gens)
     # dictionary from the per-shard term-df sidecars (kept current for
     # affected shards by _rebuild_shards) — never a block-metadata scan of
     # all shards. A pre-sidecar index migrates here with one full backfill
@@ -757,7 +815,8 @@ def _refresh_stats_terms(spark, root: str, run_id: str, input_snapshot: str,
         _backfill_termdf(spark, root, n_shards)
     terms_tmp = os.path.join(root, "terms.tmp")
     shutil.rmtree(terms_tmp, ignore_errors=True)
-    _derive_dictionary_from_sidecars(spark, root, out_path=terms_tmp)
+    _derive_dictionary_from_sidecars(spark, root, out_path=terms_tmp,
+                                     delta_gens=stats["delta_gens"])
     terms_path = os.path.join(root, "terms")
     shutil.rmtree(terms_path, ignore_errors=True)
     os.rename(terms_tmp, terms_path)
@@ -849,15 +908,22 @@ def _docs_pruned_to_shards(spark, root: str, old_docs: DataFrame,
 
 
 def recover_update(spark: SparkSession, root: str) -> bool:
-    """Crash recovery for an interrupted update_index. Returns True if a
-    recovery was performed.
+    """Crash recovery for an interrupted update_index / delete_from_index /
+    compact_deltas. Returns True if a recovery was performed.
 
     - docs dir missing: roll the docs swap forward (docs.tmp present) or back
       (docs.old present).
-    - marker present: re-run the affected-shard rebuild + stats/terms refresh
-      against the CURRENT docs table. If the crash happened before the docs
-      swap, this re-encodes identical bytes (deterministic) — a consistent
-      pre-update state; after the swap, it completes the update.
+    - rebuild-mode marker (no ``mode`` field — also every pre-r7 marker):
+      re-run the affected-shard rebuild + stats/terms refresh against the
+      CURRENT docs table. If the crash happened before the docs swap, this
+      re-encodes identical bytes (deterministic) — a consistent pre-update
+      state; after the swap, it completes the update.
+    - delta-mode marker: the generation was FULLY staged before the marker
+      was written, so recovery always rolls forward — finish the docs swap
+      if the crash interrupted it, rename the staged generation into place
+      (idempotent), and refresh stats/dictionary, which atomically commits
+      the generation to ``delta_gens``.
+    - no marker: any staging/tmp leftovers are pre-commit garbage — swept.
     """
     docs_path = os.path.join(root, "docs")
     docs_tmp = docs_path + ".tmp"
@@ -875,17 +941,66 @@ def recover_update(spark: SparkSession, root: str) -> bool:
     if os.path.exists(marker):
         with open(marker) as f:
             mk = json.load(f)
-        _rebuild_shards(
-            spark, root, mk["affected"], int(mk["n_shards"]),
-            mk["run_id"], mk["input_snapshot"],
-        )
-        _refresh_stats_terms(spark, root, mk["run_id"], mk["input_snapshot"],
-                             affected=mk["affected"])
+        if mk.get("mode") == "delta":
+            if os.path.exists(docs_tmp):
+                # crash between marker and swap: complete the swap (the
+                # staged merge is the full post-update docs state)
+                shutil.rmtree(docs_old, ignore_errors=True)
+                os.rename(docs_path, docs_old)
+                os.rename(docs_tmp, docs_path)
+            _deltas.commit_staged_gen(root, int(mk["gen"]))
+            _refresh_stats_terms(spark, root, mk["run_id"],
+                                 mk["input_snapshot"],
+                                 affected=mk["affected"],
+                                 new_gen=int(mk["gen"]))
+        else:
+            _rebuild_shards(
+                spark, root, mk["affected"], int(mk["n_shards"]),
+                mk["run_id"], mk["input_snapshot"],
+            )
+            _refresh_stats_terms(spark, root, mk["run_id"],
+                                 mk["input_snapshot"], affected=mk["affected"])
         os.remove(marker)
         recovered = True
     shutil.rmtree(docs_old, ignore_errors=True)
     shutil.rmtree(docs_tmp, ignore_errors=True)
+    _deltas.discard_staging(root)
     return recovered
+
+
+def _swap_docs_under_marker(root: str, marker_payload: dict) -> None:
+    """marker (atomic) → docs→docs.old → docs.tmp→docs. Shared by both
+    update strategies; every crash window is covered by recover_update."""
+    marker = _update_marker(root)
+    mk_tmp = marker + ".tmp"
+    with open(mk_tmp, "w") as f:
+        json.dump(marker_payload, f)
+    os.replace(mk_tmp, marker)
+    docs_path = os.path.join(root, "docs")
+    docs_old = docs_path + ".old"
+    shutil.rmtree(docs_old, ignore_errors=True)
+    os.rename(docs_path, docs_old)
+    os.rename(docs_path + ".tmp", docs_path)
+
+
+# patchable seam (tests inject post-swap crashes here); recovery calls
+# deltas.commit_staged_gen directly
+_commit_delta_gen = _deltas.commit_staged_gen
+
+
+def _maybe_autocompact(spark, root: str, affected, compact_after,
+                       run_id: str, input_snapshot: str,
+                       stats: dict) -> PhysicalIndex:
+    """Fold shards that accumulated >= compact_after delta generations back
+    into their base segments (the LSM compaction trigger)."""
+    if compact_after:
+        sg = _deltas.shard_gen_map(root)
+        crowded = [s for s in affected if len(sg.get(int(s), ())) >= compact_after]
+        if crowded:
+            return compact_deltas(spark, root, crowded,
+                                  run_id=f"{run_id}-compact",
+                                  input_snapshot=input_snapshot)
+    return PhysicalIndex(root=root, stats=stats)
 
 
 def update_index(
@@ -894,29 +1009,38 @@ def update_index(
     new_pages: DataFrame,
     run_id: str = "run2",
     input_snapshot: str = "snap2",
+    strategy: str = "delta",
+    compact_after: int | None = 8,
 ) -> PhysicalIndex:
     """Incremental index update: re-index only what changed.
 
     1. classify the snapshot against the existing docs table
-       (ExistState semantics — skip ExistSame/ExistNewer);
+       (ExistState semantics — skip ExistSame/ExistNewer); the probe is
+       partition-pruned to the shards the incoming urls' ids map to;
     2. merge the docs table (crash-safe swap: tmp write → marker → renames,
        with recover_update rolling an interrupted swap forward or back);
-    3. rebuild postings ONLY for the doc-range shards that contain changed
-       docs — untouched shards' blocks stay valid because block bounds are
-       stats-independent (max_tf, min_dl; see codec.py);
-    4. refresh doclen + term-df sidecars for affected shards, global stats
-       from per-shard subtotals, and the dictionary from the sidecar table
-       (never a block-metadata scan across shards — r6).
+    3. index the changed docs:
+       - ``strategy="delta"`` (default, r7): encode ONLY the changed docs
+         into an immutable delta generation (same codec); query kernels
+         mask shadowed base entries via the owner-generation rule and
+         compaction folds deltas into the base past ``compact_after``
+         generations per shard (deltas.py). CPU cost is O(update bytes);
+         the only O(affected-shard) work left is columnar IO (the docs COW
+         merge + the old-version term scan), with zero re-tokenize /
+         re-encode of unchanged docs.
+       - ``strategy="rebuild"``: re-encode every affected shard from the
+         merged docs (the r1-r6 path; also the compaction primitive).
+    4. refresh global stats from per-shard subtotals and the dictionary
+       from the (base + delta) term-df sidecar tables — never a
+       block-metadata scan across shards.
 
-    Every docs-table read on this path is partition-pruned to the shards
-    the incoming urls' ids map to; total update cost is O(update size +
-    affected shards + vocab), independent of corpus size.
-
-    The result is rank-identical to a full rebuild over the merged corpus;
-    a kill at ANY point leaves the index recoverable via recover_update
-    (invoked automatically on the next update_index call) — both verified in
-    tests.
+    Either strategy is rank-identical to a full rebuild over the merged
+    corpus; a kill at ANY point leaves the index recoverable via
+    recover_update (invoked automatically on the next call) — verified in
+    tests, including mid-delta-commit crash windows.
     """
+    if strategy not in ("delta", "rebuild"):
+        raise ValueError(f"unknown update strategy: {strategy!r}")
     recover_update(spark, root)
 
     with open(os.path.join(root, "stats.json")) as f:
@@ -944,7 +1068,11 @@ def update_index(
     changed_docs, errors = build_docs_safe(
         changed_pages, stats.get("doc_id_mode", "hash")
     )
-    changed_docs = changed_docs.drop("tokens").persist()
+    if strategy == "rebuild":
+        changed_docs = changed_docs.drop("tokens")
+    # (delta keeps ``tokens``: the generation's postings/termdf derive from
+    # them without a second Python tokenize pass over the update)
+    changed_docs = changed_docs.persist()
     # quarantine records are appended BEFORE the no-change early return:
     # if every changed page failed extraction, changed_docs is empty but the
     # errors still belong in <root>/errors/
@@ -968,41 +1096,54 @@ def update_index(
         ).distinct().collect()
     )
 
-    # merged docs table → tmp; then marker; then the two renames. Every
-    # crash window is covered by recover_update (see its docstring). Only
-    # the AFFECTED shards' rows are merged and written — a changed url can
-    # never move shards (doc_id = f(url) is deterministic), so per-shard
-    # merges are closed and the staging helper hard-links everything else
-    # (COW): staging cost is O(affected shards), not a corpus rewrite. On
-    # a partitioned layout the filter is on the physical partition column,
+    # merged docs table → tmp (staged BEFORE the marker). Only the AFFECTED
+    # shards' rows are merged and written — a changed url can never move
+    # shards (doc_id = f(url) is deterministic), so per-shard merges are
+    # closed and the staging helper hard-links everything else (COW):
+    # staging cost is O(affected shards), not a corpus rewrite. On a
+    # partitioned layout the filter is on the physical partition column,
     # so the scan reads only the affected shard directories.
     sharded = docs_is_sharded(docs_path)
     old_aff = _docs_pruned_to_shards(spark, root, old_docs, affected)
+
+    if strategy == "delta":
+        gen = _deltas.next_gen(stats)
+        # live versions being shadowed — their stored text re-tokenizes to
+        # exactly the terms the base postings count, giving the signed
+        # term-df adjustments (O(update) CPU; see deltas.stage_update_delta)
+        old_replaced = old_aff.join(
+            changed_docs.select("url"), "url", "left_semi"
+        )
+        _deltas.stage_update_delta(spark, root, changed_docs, old_replaced,
+                                   n_shards)
+
     merged_aff = old_aff.join(
         changed_docs.select("url"), "url", "left_anti"
-    ).unionByName(changed_docs)
+    ).unionByName(changed_docs.drop("tokens"))
     _write_docs_tmp_cow(spark, docs_path, merged_aff,
                         affected if sharded else None, n_shards)
-    docs_tmp = docs_path + ".tmp"
     changed_docs.unpersist()
 
-    marker = _update_marker(root)
-    mk_tmp = marker + ".tmp"
-    with open(mk_tmp, "w") as f:
-        json.dump({"affected": affected, "n_shards": n_shards,
-                   "run_id": run_id, "input_snapshot": input_snapshot}, f)
-    os.replace(mk_tmp, marker)
+    payload = {"affected": affected, "n_shards": n_shards,
+               "run_id": run_id, "input_snapshot": input_snapshot}
+    if strategy == "delta":
+        payload.update(mode="delta", gen=gen)
+    _swap_docs_under_marker(root, payload)
 
-    docs_old = docs_path + ".old"
-    shutil.rmtree(docs_old, ignore_errors=True)
-    os.rename(docs_path, docs_old)
-    os.rename(docs_tmp, docs_path)
-
-    _rebuild_shards(spark, root, affected, n_shards, run_id, input_snapshot)
-    stats = _refresh_stats_terms(spark, root, run_id, input_snapshot,
-                                 affected=affected)
-    os.remove(marker)
-    shutil.rmtree(docs_old, ignore_errors=True)
+    if strategy == "delta":
+        _commit_delta_gen(root, gen)
+        stats = _refresh_stats_terms(spark, root, run_id, input_snapshot,
+                                     affected=affected, new_gen=gen)
+    else:
+        _rebuild_shards(spark, root, affected, n_shards, run_id,
+                        input_snapshot)
+        stats = _refresh_stats_terms(spark, root, run_id, input_snapshot,
+                                     affected=affected)
+    os.remove(_update_marker(root))
+    shutil.rmtree(docs_path + ".old", ignore_errors=True)
+    if strategy == "delta":
+        return _maybe_autocompact(spark, root, affected, compact_after,
+                                  run_id, input_snapshot, stats)
     return PhysicalIndex(root=root, stats=stats)
 
 
@@ -1012,19 +1153,24 @@ def delete_from_index(
     urls: DataFrame,
     run_id: str = "del1",
     input_snapshot: str = "del1",
+    strategy: str = "delta",
+    compact_after: int | None = 8,
 ) -> PhysicalIndex:
     """Per-record delete on the physical index (the reference's delete action
     reaching the store — ESIndexDocType.cs delete path): drop every doc whose
-    url appears in ``urls`` and re-encode ONLY the doc-range shards that held
-    them; untouched shards stay byte-identical (block bounds are
-    stats-independent). Same crash-safe swap+marker protocol as update_index:
-    a kill at any point is repaired by recover_update, which re-derives the
-    affected shards from the CURRENT docs table — correct both before and
-    after the docs swap.
+    url appears in ``urls``. ``strategy="delta"`` (default) writes one
+    tombstone generation — doclen rows with doc_len = -1 mask the doomed
+    docs out of every older segment, and signed term-df adjustments keep
+    df/idf exact — O(delete bytes), no re-encode until compaction.
+    ``strategy="rebuild"`` re-encodes the affected shards (the r1-r6 path).
+    Same crash-safe swap+marker protocol as update_index; results equal a
+    full rebuild over the survivors (including df/idf shifts).
 
     ``urls`` must not lazily depend on this index's own docs table (the
     delete replaces those files; a caller-side plan re-evaluated afterwards
     would read gone paths) — pass a materialized or independent frame."""
+    if strategy not in ("delta", "rebuild"):
+        raise ValueError(f"unknown delete strategy: {strategy!r}")
     recover_update(spark, root)
 
     with open(os.path.join(root, "stats.json")) as f:
@@ -1049,9 +1195,14 @@ def delete_from_index(
             shard_of(F.col("doc_id"), n_shards).alias("s")
         ).distinct().collect()
     )
-    doomed.unpersist()
     if not affected:
+        doomed.unpersist()
         return PhysicalIndex(root=root, stats=stats)
+
+    gen = None
+    if strategy == "delta":
+        gen = _deltas.next_gen(stats)
+        _deltas.stage_delete_delta(spark, root, doomed, n_shards)
 
     # survivors of the affected shards only; everything else hard-links
     # (COW staging — same shape as update_index's merge)
@@ -1060,25 +1211,72 @@ def delete_from_index(
     merged_aff = base.join(urls_only, "url", "left_anti")
     _write_docs_tmp_cow(spark, docs_path, merged_aff,
                         affected if sharded else None, n_shards)
-    docs_tmp = docs_path + ".tmp"
+    doomed.unpersist()
 
+    payload = {"affected": affected, "n_shards": n_shards,
+               "run_id": run_id, "input_snapshot": input_snapshot}
+    if strategy == "delta":
+        payload.update(mode="delta", gen=gen)
+    _swap_docs_under_marker(root, payload)
+
+    if strategy == "delta":
+        _commit_delta_gen(root, gen)
+        stats = _refresh_stats_terms(spark, root, run_id, input_snapshot,
+                                     affected=affected, new_gen=gen)
+    else:
+        _rebuild_shards(spark, root, affected, n_shards, run_id,
+                        input_snapshot)
+        stats = _refresh_stats_terms(spark, root, run_id, input_snapshot,
+                                     affected=affected)
+    os.remove(_update_marker(root))
+    shutil.rmtree(docs_path + ".old", ignore_errors=True)
+    if strategy == "delta":
+        return _maybe_autocompact(spark, root, affected, compact_after,
+                                  run_id, input_snapshot, stats)
+    return PhysicalIndex(root=root, stats=stats)
+
+
+def compact_deltas(
+    spark: SparkSession,
+    root: str,
+    shards=None,
+    run_id: str = "compact",
+    input_snapshot: str | None = None,
+) -> PhysicalIndex:
+    """Fold delta generations into the base segments — the reference's
+    delegated optimize-to-N-segments (ESIndexDefinitions.cs:452-458) over
+    this layout. For each given shard (default: every shard holding delta
+    data) the base is re-encoded from the merged docs table and the shard's
+    delta data is purged in the same marker-protected window
+    (_rebuild_shards); generations left without data drop out of
+    ``delta_gens``. Deterministic and idempotent: a kill mid-compaction is
+    repaired by recover_update re-running the rebuild, and the result is
+    bit-identical to a fresh full build over the same corpus."""
+    recover_update(spark, root)
+    with open(os.path.join(root, "stats.json")) as f:
+        stats = json.load(f)
+    n_shards = int(stats["n_shards"])
+    sg = _deltas.shard_gen_map(root)
+    todo = sorted(sg) if shards is None else sorted(
+        int(s) for s in shards if int(s) in sg
+    )
+    if not todo:
+        return PhysicalIndex(root=root, stats=stats)
+    if input_snapshot is None:
+        input_snapshot = stats.get("input_snapshot", "compact")
+
+    # rebuild-mode marker: recovery re-runs the fold against current docs
     marker = _update_marker(root)
     mk_tmp = marker + ".tmp"
     with open(mk_tmp, "w") as f:
-        json.dump({"affected": affected, "n_shards": n_shards,
+        json.dump({"affected": todo, "n_shards": n_shards,
                    "run_id": run_id, "input_snapshot": input_snapshot}, f)
     os.replace(mk_tmp, marker)
 
-    docs_old = docs_path + ".old"
-    shutil.rmtree(docs_old, ignore_errors=True)
-    os.rename(docs_path, docs_old)
-    os.rename(docs_tmp, docs_path)
-
-    _rebuild_shards(spark, root, affected, n_shards, run_id, input_snapshot)
+    _rebuild_shards(spark, root, todo, n_shards, run_id, input_snapshot)
     stats = _refresh_stats_terms(spark, root, run_id, input_snapshot,
-                                 affected=affected)
+                                 affected=todo)
     os.remove(marker)
-    shutil.rmtree(docs_old, ignore_errors=True)
     return PhysicalIndex(root=root, stats=stats)
 
 

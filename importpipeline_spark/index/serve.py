@@ -33,12 +33,29 @@ from .build import K1, B
 from .codec import from_u64, to_u64
 from .store import PhysicalIndex, open_index
 from .search import analyze_query
-from .wand import _ShardIndex, _sweep
+from .wand import _ShardIndex, _sweep, resolve_doclen
 
 
 def _read_parquet_dir(path: str, columns=None) -> pd.DataFrame:
     files = sorted(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
     parts = [pq.read_table(f, columns=columns).to_pandas() for f in files]
+    return pd.concat(parts, ignore_index=True) if parts else pd.DataFrame()
+
+
+def _read_delta_table(root: str, table: str, gens, columns=None) -> pd.DataFrame:
+    """Committed delta generations of one delta table as a single frame with
+    a ``seg_gen`` column (gen taken from the directory name — the snapshot's
+    stats.json lists only fully-committed generations)."""
+    parts = []
+    for g in sorted(int(x) for x in gens):
+        p = os.path.join(root, table, f"gen={g}")
+        if not os.path.isdir(p):
+            continue  # e.g. a delete generation has no delta_postings
+        pdf = _read_parquet_dir(p, columns=columns)
+        if pdf.empty:
+            continue
+        pdf["seg_gen"] = np.int64(g)
+        parts.append(pdf)
     return pd.concat(parts, ignore_index=True) if parts else pd.DataFrame()
 
 
@@ -63,6 +80,20 @@ class LocalSearcher:
                     columns=["doc_id", "doc_len"],
                 )
             )
+        # delta segments (LSM update path): blocks join the flattened sweep
+        # space tagged with their generation; doclen rows resolve to the
+        # per-doc owner generation exactly as the distributed kernel does.
+        gens = self.pidx.stats.get("delta_gens") or []
+        if gens:
+            dpost = _read_delta_table(root, "delta_postings", gens)
+            if not dpost.empty:
+                posts.append(dpost)
+            ddl = _read_delta_table(
+                root, "delta_doclen", gens,
+                columns=["doc_id", "doc_len"],
+            )
+            if not ddl.empty:
+                dls.append(ddl)
         posts = [p for p in posts if not p.empty]
         dls = [d for d in dls if not d.empty]
         if not posts or not dls:
@@ -78,11 +109,16 @@ class LocalSearcher:
             self._t_start, self._t_end = {}, {}
             self._dl_u = np.empty(0, dtype=np.uint64)
             self._dl_v = np.empty(0, dtype=np.float64)
+            self._gens = self._tomb_u = self._tomb_g = None
             self._df = {}
             self._raw_cache = {}
             return
         post = pd.concat(posts, ignore_index=True)
         dl = pd.concat(dls, ignore_index=True)
+        if "seg_gen" in post.columns:
+            post["seg_gen"] = post["seg_gen"].fillna(0).astype(np.int64)
+        if "seg_gen" in dl.columns:
+            dl["seg_gen"] = dl["seg_gen"].fillna(0).astype(np.int64)
 
         term_arr = post["term"].to_numpy(dtype=object)
         order = np.argsort(term_arr, kind="stable")  # stable: doc order kept per term
@@ -101,10 +137,17 @@ class LocalSearcher:
         self._t_start = dict(zip(term_arr[starts], starts))
         self._t_end = dict(zip(term_arr[starts], ends))
 
-        dl_u = to_u64(dl["doc_id"].to_numpy(dtype=np.int64))
-        o = np.argsort(dl_u)
-        self._dl_u = dl_u[o]
-        self._dl_v = dl["doc_len"].to_numpy(dtype=np.float64)[o]
+        # live doclen + shadowed-doc lookup via the same ownership
+        # resolution the distributed kernel uses (bit-identity by sharing)
+        self._dl_u, self._dl_v, self._tomb_u, self._tomb_g = resolve_doclen(dl)
+        self._gens = None
+        if self._tomb_u is not None and len(self._tomb_u):
+            if "seg_gen" in post.columns:
+                self._gens = post["seg_gen"].to_numpy(dtype=np.int64)[order]
+            else:  # delete-only generations: every block is base (gen 0)
+                self._gens = np.zeros(len(term_arr), dtype=np.int64)
+        else:
+            self._tomb_u = self._tomb_g = None
 
         terms = _read_parquet_dir(self.pidx.terms_path, columns=["term", "df"])
         self._df: Dict[str, int] = dict(zip(terms["term"], terms["df"].astype(int)))
@@ -176,5 +219,8 @@ class LocalSearcher:
             b=B,
             block_keys=rows,
             raw_cache=self._raw_cache,
+            gens=self._gens[rows] if self._gens is not None else None,
+            tomb_u=self._tomb_u,
+            tomb_g=self._tomb_g,
         )
         return si

@@ -306,6 +306,66 @@ class PhysicalIndex:
     def terms_df(self, spark: SparkSession) -> DataFrame:
         return self._rel(spark, "terms", self.terms_path)
 
+    def delta_gens(self) -> list:
+        """Generations committed as of THIS handle's stats snapshot."""
+        return sorted(int(g) for g in self.stats.get("delta_gens", []))
+
+    def _delta_rel(self, spark: SparkSession, name: str):
+        """Memoized relation over a delta table (None when the snapshot has
+        no committed generations or the table was never written — e.g. a
+        delete generation has no delta_postings). Uncommitted/garbage gen
+        directories never reach here: readers filter to delta_gens, whose
+        entries only land in stats.json after their directories are fully
+        renamed into place."""
+        key = (spark.sparkContext.applicationId, name)
+        if key in self._rels:
+            return self._rels[key]
+        df = None
+        path = os.path.join(self.root, name)
+        if self.delta_gens() and os.path.isdir(path):
+            try:
+                df = spark.read.option("basePath", path).parquet(path)
+            except Exception:
+                df = None  # no parquet footers (fully purged table)
+        self._rels[key] = df
+        return df
+
+    def postings_live_df(self, spark: SparkSession) -> DataFrame:
+        """Base + committed delta posting blocks, each row tagged with its
+        segment generation (base = 0). Same codec/schema either way; the
+        query kernels mask base entries shadowed by a doc's newer owner
+        generation (see deltas.py). With no deltas this is the base relation
+        plus a constant column — the plan is unchanged."""
+        base = self.postings_df(spark).withColumn(
+            "seg_gen", F.lit(0).cast("int")
+        )
+        dp = self._delta_rel(spark, "delta_postings")
+        if dp is None:
+            return base
+        dp = (
+            dp.where(F.col("gen").isin(self.delta_gens()))
+            .withColumn("seg_gen", F.col("gen").cast("int"))
+            .drop("gen")
+        )
+        return base.unionByName(dp.select(*base.columns))
+
+    def doclen_live_df(self, spark: SparkSession) -> DataFrame:
+        """Base + committed delta doclen rows with their generation; the
+        highest-generation row per doc is its owner (doc_len = -1 ⇒ deleted).
+        Kernels resolve ownership per shard group — no driver-side work."""
+        base = self.doclen_df(spark).withColumn(
+            "seg_gen", F.lit(0).cast("int")
+        )
+        dd = self._delta_rel(spark, "delta_doclen")
+        if dd is None:
+            return base
+        dd = (
+            dd.where(F.col("gen").isin(self.delta_gens()))
+            .withColumn("seg_gen", F.col("gen").cast("int"))
+            .drop("gen")
+        )
+        return base.unionByName(dd.select(*base.columns))
+
     @property
     def postings_path(self) -> str:
         return os.path.join(self.root, "postings")

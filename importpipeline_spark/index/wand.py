@@ -52,6 +52,47 @@ CAND_SCHEMA = "doc_id long, score double"
 BATCH_CAND_SCHEMA = "query_id int, doc_id long, score double"
 
 
+def resolve_doclen(dl_pdf: pd.DataFrame):
+    """Resolve doclen rows (possibly spanning base + delta generations) to
+    the LIVE per-doc state: returns (dl_u sorted, dl_v, tomb_u, tomb_g).
+
+    Ownership rule (deltas.py): a doc's owner generation is the highest
+    seg_gen holding a doclen row for it; doc_len = -1 at the owner means
+    deleted. ``tomb_u/tomb_g`` list docs owned by a generation > 0 — a
+    posting entry for such a doc in any OLDER segment is shadowed and must
+    be masked (its live version, if any, lives in the owner generation's
+    blocks). Base-only input (no seg_gen column, or all zero) returns
+    tomb_u = None and the plain sorted lookup arrays — zero overhead on the
+    no-delta path."""
+    dl_key = "dl_doc_id" if "dl_doc_id" in dl_pdf.columns else "doc_id"
+    dl_u = to_u64(dl_pdf[dl_key].to_numpy(dtype=np.int64))
+    if "seg_gen" in dl_pdf.columns:
+        g = dl_pdf["seg_gen"].to_numpy(dtype=np.int64)
+        if g.max(initial=0) > 0:
+            v = dl_pdf["doc_len"].to_numpy(dtype=np.int64)
+            order = np.lexsort((g, dl_u))
+            u_s, g_s, v_s = dl_u[order], g[order], v[order]
+            last = np.nonzero(
+                np.concatenate((u_s[1:] != u_s[:-1], [True]))
+            )[0]
+            owner_u, owner_g, owner_v = u_s[last], g_s[last], v_s[last]
+            live = owner_v >= 0
+            shadowing = owner_g > 0
+            return (
+                owner_u[live],
+                owner_v[live].astype(np.float64),
+                owner_u[shadowing],
+                owner_g[shadowing],
+            )
+    dl_order = np.argsort(dl_u)
+    return (
+        dl_u[dl_order],
+        dl_pdf["doc_len"].to_numpy(dtype=np.float64)[dl_order],
+        None,
+        None,
+    )
+
+
 def _lucene_idf(df: int, n: int) -> float:
     return math.log(1.0 + (n - df + 0.5) / (df + 0.5))
 
@@ -63,8 +104,10 @@ class _ShardIndex:
     def __init__(self, post_pdf: pd.DataFrame, dl_pdf: pd.DataFrame,
                  tcode_map: Dict[str, int], idf_arr: np.ndarray,
                  avgdl: float, k1: float, b: float):
-        dl_u = to_u64(dl_pdf["doc_id"].to_numpy(dtype=np.int64))
-        dl_order = np.argsort(dl_u)
+        dl_u, dl_v, tomb_u, tomb_g = resolve_doclen(dl_pdf)
+        gens = None
+        if "seg_gen" in post_pdf.columns and tomb_u is not None:
+            gens = post_pdf["seg_gen"].to_numpy(dtype=np.int64)
         self._init(
             min_u=post_pdf["min_doc"].to_numpy(dtype=np.int64).view(np.uint64),
             max_u=post_pdf["max_doc"].to_numpy(dtype=np.int64).view(np.uint64),
@@ -74,9 +117,9 @@ class _ShardIndex:
             tfs_enc=post_pdf["tfs_enc"].to_numpy(dtype=object),
             max_tf=post_pdf["max_tf"].to_numpy(dtype=np.float64),
             min_dl=post_pdf["min_dl"].to_numpy(dtype=np.float64),
-            dl_u=dl_u[dl_order],
-            dl_v=dl_pdf["doc_len"].to_numpy(dtype=np.float64)[dl_order],
+            dl_u=dl_u, dl_v=dl_v,
             idf_arr=idf_arr, avgdl=avgdl, k1=k1, b=b,
+            gens=gens, tomb_u=tomb_u, tomb_g=tomb_g,
         )
 
     @classmethod
@@ -89,7 +132,14 @@ class _ShardIndex:
 
     def _init(self, *, min_u, max_u, ns, tcodes, docs_enc, tfs_enc,
               max_tf, min_dl, dl_u, dl_v, idf_arr, avgdl, k1, b,
-              block_keys=None, raw_cache=None):
+              block_keys=None, raw_cache=None,
+              gens=None, tomb_u=None, tomb_g=None):
+        # delta-segment state: per-block generation + the shadowed-doc
+        # lookup (docs owned by a generation > 0; see resolve_doclen).
+        # None on a pure-base index — decode() takes the unmasked fast path.
+        self.gens = gens
+        self.tomb_u = tomb_u if tomb_u is not None and len(tomb_u) else None
+        self.tomb_g = tomb_g
         # optional cross-query raw-decode cache (serving path): maps an
         # external stable block key → (doc_u, tf, dl); contributions are
         # recomputed per query (idf/stats may differ) but varint decode +
@@ -130,6 +180,19 @@ class _ShardIndex:
             deltas = varint_decode(self.docs_enc[bi], int(self.ns[bi]))
             du = self.min_u[bi] + np.cumsum(deltas, dtype=np.uint64)
             tf = varint_decode(self.tfs_enc[bi], int(self.ns[bi])).astype(np.float64)
+            if self.tomb_u is not None:
+                # delta-segment masking: drop docs owned by a NEWER
+                # generation than this block's (their live version — if any
+                # — is scored from the owner generation's block; a deleted
+                # doc has no live block at all). Masking precedes the
+                # doclen lookup: shadowed docs are absent from dl_u.
+                g = int(self.gens[bi]) if self.gens is not None else 0
+                pos = np.searchsorted(self.tomb_u, du)
+                pos_c = np.minimum(pos, len(self.tomb_u) - 1)
+                shadowed = (self.tomb_u[pos_c] == du) & (self.tomb_g[pos_c] > g)
+                if shadowed.any():
+                    keep = ~shadowed
+                    du, tf = du[keep], tf[keep]
             dl = self.dl_v[np.searchsorted(self.dl_u, du)]
             if self._raw_cache is not None:
                 self._raw_cache[key] = (du, tf, dl)
@@ -150,6 +213,8 @@ def _accumulate(d_parts, c_parts):
     per doc segment. Returns (seg_docs, seg_scores)."""
     docs = np.concatenate(d_parts)
     contribs = np.concatenate(c_parts)
+    if docs.size == 0:  # every candidate masked by delta-segment shadowing
+        return docs, contribs
     srt = np.argsort(docs, kind="stable")
     docs = docs[srt]
     contribs = contribs[srt]
@@ -376,11 +441,11 @@ def _pruned_reads(spark, pidx, terms: List[str], shards: List[int]):
     if not shards:
         return None, None
     postings = (
-        pidx.postings_df(spark)
+        pidx.postings_live_df(spark)
         .where(F.col("shard").isin(shards))
         .where(F.col("term").isin(terms))
     )
-    doclen = pidx.doclen_df(spark).where(F.col("shard").isin(shards))
+    doclen = pidx.doclen_live_df(spark).where(F.col("shard").isin(shards))
     return postings, doclen
 
 

@@ -186,17 +186,18 @@ def test_published_update_snapshot_isolation(spark, tmp_path):
     reader_old = open_current_index(store)  # resolves CURRENT now
     before = _topk(spark, reader_old)
 
-    # crash mid-update (after the docs swap inside the new generation):
-    # CURRENT must not move and the old generation must stay fully intact
-    real_rebuild = seg._rebuild_shards
+    # crash mid-update (after the docs swap inside the new generation,
+    # before the delta-generation commit): CURRENT must not move and the
+    # old generation must stay fully intact
+    real_commit = seg._commit_delta_gen
     def boom(*a, **kw):
         raise RuntimeError("injected mid-update crash")
-    seg._rebuild_shards = boom
+    seg._commit_delta_gen = boom
     try:
         with pytest.raises(RuntimeError, match="injected"):
             update_index_published(spark, store, _snapshot2(spark))
     finally:
-        seg._rebuild_shards = real_rebuild
+        seg._commit_delta_gen = real_commit
     assert open_current_index(store).root == reader_old.root
     assert _topk(spark, open_current_index(store)) == before
 
@@ -378,9 +379,11 @@ def test_termdf_sidecar_dictionary_is_postings_free(indexes, spark, tmp_path):
 
 
 def test_termdf_update_touches_only_affected_shards(spark, tmp_path):
-    """A narrow (host-bursty) update must leave every unaffected shard's
-    term-df sidecar file untouched on disk (same inodes) — the sidecar
-    refresh is O(affected shards), like the docs COW merge."""
+    """A narrow (host-bursty) REBUILD-strategy update must leave every
+    unaffected shard's term-df sidecar file untouched on disk (same
+    inodes) — the sidecar refresh is O(affected shards), like the docs COW
+    merge. (The default delta strategy is stricter still — it touches NO
+    base sidecar at all — pinned in test_delta_segments.py.)"""
     import os
 
     from importpipeline_spark.index.pagesgen import gen_pages_df
@@ -407,7 +410,8 @@ def test_termdf_update_touches_only_affected_shards(spark, tmp_path):
            .orderBy(F.col("count").desc(), F.col("h").asc()).first())
     upd = pages.where(host == top["h"]).withColumn(
         "warc_ts", F.col("warc_ts") + F.expr("INTERVAL 2 HOURS"))
-    update_index(spark, root, upd, run_id="td1", input_snapshot="t1")
+    update_index(spark, root, upd, run_id="td1", input_snapshot="t1",
+                 strategy="rebuild")
     after = inodes()
     rewritten = [d for d in before if after.get(d) != before[d]]
     untouched = [d for d in before if after.get(d) == before[d]]
