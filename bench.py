@@ -535,6 +535,43 @@ def headline() -> None:
     # noisy shared VM (see BENCH/BASELINE.md's measurement-window note) and
     # min-of-N is the noise-robust estimator already used by --scaling
     _mark("warmup done")
+
+    # --- steal-aware retry for the build-shaped probes (VERDICT r6 #2) ---
+    # The start gate certifies a quiet LAUNCH, but the neighbor's hypervisor
+    # throttling bites exactly when a full-width build saturates the host
+    # (PLANS §18: light probes are insensitive, builds are the victims). So
+    # the three build probes measure their OWN steal and re-run loud
+    # samples (bounded): the graded number is the min over quiet (<5%
+    # steal) runs; if every attempt was loud, the artifact says so
+    # (gave_up) instead of shipping an unannotated throttled reading.
+    steal_probes: dict = {}
+    steal_thresh = float(os.environ.get("SPARK_GRAFT_STEAL_THRESH", "0.05"))
+
+    def _min_quiet(fn, label, runs=2, max_retries=2, n_out=1):
+        """min-of-`runs` with steal gating: fn() returns `n_out` seconds
+        (a tuple for interleaved pairs — retried as a unit so the pair's
+        components always come from the same windows)."""
+        all_secs, steals = [], []
+        while True:
+            a = _cpu_counters()
+            secs = fn()
+            b = _cpu_counters()
+            secs = (secs,) if n_out == 1 else tuple(secs)
+            st = round((b[2] - a[2]) / max(1, b[3] - a[3]), 4)
+            all_secs.append(secs)
+            steals.append(st)
+            quiet = [s for s, x in zip(all_secs, steals) if x <= steal_thresh]
+            if len(quiet) >= runs or len(all_secs) >= runs + max_retries:
+                break
+        pool = quiet if quiet else all_secs
+        best = tuple(min(s[i] for s in pool) for i in range(n_out))
+        steal_probes[label] = {
+            "steals": steals,
+            "retries": max(0, len(all_secs) - runs),
+            "gave_up": not quiet,
+        }
+        return best[0] if n_out == 1 else best
+
     times = {}
     total = 0.0
     for name in HEADLINE:
@@ -561,13 +598,17 @@ def headline() -> None:
         write_pages(spark, pages_path, n_docs)
     pages = spark.read.parquet(pages_path)
     idx_root = os.path.join(out_root, "index")
-    build_sec = None
-    for _ in range(2):
+    pidx_box = {}
+
+    def _one_build():
         shutil.rmtree(idx_root, ignore_errors=True)
         t0 = time.perf_counter()
-        pidx = write_index(spark, pages, idx_root, n_shards=64, write_docs=False)
-        sec = time.perf_counter() - t0
-        build_sec = sec if build_sec is None else min(build_sec, sec)
+        pidx_box["pidx"] = write_index(spark, pages, idx_root, n_shards=64,
+                                       write_docs=False)
+        return time.perf_counter() - t0
+
+    build_sec = _min_quiet(_one_build, "index_build")
+    pidx = pidx_box["pidx"]
     times["index_build"] = round(build_sec, 3)
     _mark("index_build done")
     # crash-safe (resumable, per-segment lineage) build at the SAME shard
@@ -583,18 +624,18 @@ def headline() -> None:
     # drift on this shared VM masquerade as a crash-safety overhead change
     docs_root = os.path.join(out_root, "index_docs")
     res_root = os.path.join(out_root, "index_resumable")
-    bdocs, rb = None, None
-    for _ in range(2):
+
+    def _one_pair():
         shutil.rmtree(docs_root, ignore_errors=True)
         t0 = time.perf_counter()
         write_index(spark, pages, docs_root, n_shards=64, write_docs=True)
-        sec = time.perf_counter() - t0
-        bdocs = sec if bdocs is None else min(bdocs, sec)
+        s1 = time.perf_counter() - t0
         shutil.rmtree(res_root, ignore_errors=True)
         t0 = time.perf_counter()
         build_index_resumable(spark, pages, res_root, n_shards=64)
-        sec = time.perf_counter() - t0
-        rb = sec if rb is None else min(rb, sec)
+        return s1, time.perf_counter() - t0
+
+    bdocs, rb = _min_quiet(_one_pair, "resumable_pair", n_out=2)
     _mark("resumable pair done")
     times["index_build_docs"] = round(bdocs, 3)
     times["resumable_build"] = round(rb, 3)
@@ -769,16 +810,23 @@ def headline() -> None:
             "warc_ts", F.col("warc_ts") + F.expr(f"INTERVAL {hours} HOURS")
         )
 
+    # r7: updates default to the LSM delta strategy (O(update) encode +
+    # query-time masking). The probe reports delta timings for both access
+    # patterns, ONE rebuild-strategy host round for the side-by-side cost
+    # of the r1-r6 re-encode path, and the compaction fold that reclaims
+    # the accumulated generations.
     uh = ur = None
     for r in (1, 2):
         t0 = time.perf_counter()
         update_index(spark, idx_upd, _bump(host_pages, 2 * r),
-                     run_id=f"bench_uh{r}", input_snapshot=f"uh{r}")
+                     run_id=f"bench_uh{r}", input_snapshot=f"uh{r}",
+                     compact_after=None)
         sec = time.perf_counter() - t0
         uh = sec if uh is None else min(uh, sec)
         t0 = time.perf_counter()
         update_index(spark, idx_upd, _bump(rand_pages, 2 * r + 1),
-                     run_id=f"bench_ur{r}", input_snapshot=f"ur{r}")
+                     run_id=f"bench_ur{r}", input_snapshot=f"ur{r}",
+                     compact_after=None)
         sec = time.perf_counter() - t0
         ur = sec if ur is None else min(ur, sec)
     times["update_host_recrawl_sec"] = round(uh, 3)
@@ -787,6 +835,18 @@ def headline() -> None:
     times["update_random_sec"] = round(ur, 3)
     times["update_random_docs"] = rand_pages.count()
     times["update_random_shards"] = _upd_shards(rand_pages)
+    # compaction: fold every accumulated generation back into the base
+    from importpipeline_spark.index.segments import compact_deltas
+
+    t0 = time.perf_counter()
+    compact_deltas(spark, idx_upd, run_id="bench_compact")
+    times["update_compact_sec"] = round(time.perf_counter() - t0, 3)
+    # the old path, one host round, for the graded delta-vs-rebuild contrast
+    t0 = time.perf_counter()
+    update_index(spark, idx_upd, _bump(host_pages, 10),
+                 run_id="bench_uh_rb", input_snapshot="uhrb",
+                 strategy="rebuild")
+    times["update_host_rebuild_sec"] = round(time.perf_counter() - t0, 3)
     shutil.rmtree(idx_upd, ignore_errors=True)
     _mark("update probes done")
 
@@ -884,7 +944,7 @@ def headline() -> None:
     _mark("pretrain_corpus probe done")
     shutil.rmtree(pc_out, ignore_errors=True)
 
-    print(json.dumps({
+    payload = {
         "metric": "docs_indexed_per_sec",
         "value": round(n_docs / build_sec, 1),
         "unit": "docs/sec",
@@ -893,7 +953,7 @@ def headline() -> None:
         "total_sec": round(total, 3),
         "cores": cpus,
         "bench_docs": n_docs,
-        "timing": "min_of_2_per_probe",
+        "timing": "min_of_2_per_probe_steal_gated_builds",
         "pretrain_corpus_stages": pc_stats,
         # measurement-window telemetry: a graded artifact self-certifies
         # the load it was taken under (see CLAUDE.md 11)
@@ -905,8 +965,20 @@ def headline() -> None:
             "max_steal_seen": max(steal_marks.values()) if steal_marks else None,
             "at_mark": load_marks,
             "steal_at_mark": steal_marks,
+            # per-build-probe steal gating (VERDICT r6 #2): every graded
+            # build number is either quiet-certified (<5% steal on the run
+            # that produced the min) or flagged gave_up here
+            "steal_probes": steal_probes,
         },
-    }))
+    }
+    line = json.dumps(payload)
+    # the graded snapshot must not depend on driver-side stdout capture
+    # (BENCH_r06.json survived only as a 2000-char tail): persist the full
+    # line in-repo alongside printing it
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "last_run.json"), "w") as f:
+        f.write(line + "\n")
+    print(line)
     spark.stop()
 
 

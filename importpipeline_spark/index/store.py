@@ -260,6 +260,17 @@ def build_postings_df(tf: DataFrame, doclen: DataFrame, n_shards: int) -> DataFr
     )
 
 
+def _session_uuid(spark: SparkSession) -> str:
+    """Stable per-SparkSession identifier (distinguishes newSession()
+    siblings that share one applicationId). Falls back to the shared
+    application scope on runtimes without the JVM handle (e.g. Connect),
+    where the single-session assumption is documented instead."""
+    try:
+        return str(spark._jsparkSession.sessionUUID())
+    except Exception:
+        return "app"
+
+
 @dataclass
 class PhysicalIndex:
     root: str
@@ -290,7 +301,11 @@ class PhysicalIndex:
         self._rels.clear()
 
     def _rel(self, spark: SparkSession, name: str, path: str) -> DataFrame:
-        key = (spark.sparkContext.applicationId, name)
+        # key: applicationId + the JVM session's own UUID, so sibling
+        # sessions from spark.newSession() (same applicationId, different
+        # conf/temp-view scope) never share a resolved DataFrame (ADVICE
+        # r6); neither component can be GC-aliased the way id(spark) could.
+        key = (spark.sparkContext.applicationId, _session_uuid(spark), name)
         df = self._rels.get(key)
         if df is None:
             df = spark.read.parquet(path)
@@ -317,7 +332,7 @@ class PhysicalIndex:
         directories never reach here: readers filter to delta_gens, whose
         entries only land in stats.json after their directories are fully
         renamed into place."""
-        key = (spark.sparkContext.applicationId, name)
+        key = (spark.sparkContext.applicationId, _session_uuid(spark), name)
         if key in self._rels:
             return self._rels[key]
         df = None

@@ -337,10 +337,14 @@ def select_token_budget(
     Job shape (r6 — VERDICT r5 #4 trimmed the fixed overhead): ONE
     per-range-partition totals job (which also short-circuits keep-all when
     the corpus fits the budget), then ONE job that scans only the crossing
-    partition p* (+ its last non-empty predecessor, for the boundary case
-    where p*'s first row already overshoots) through a tiny grouped-kernel
-    cumsum — never a window, never a global sort, and no job whose task
-    count scales with num_partitions beyond the cached scan.
+    partition p*, its last non-empty predecessor q, and the zero-total gap
+    partitions between them (r7, ADVICE r6: when p*'s first row overshoots,
+    the true cut row may be a ZERO-token row in a gap partition — those
+    rows' cumulative sums still fit, so the old q-last-row cut silently
+    excluded them; gap partitions hold no data unless zero-token docs
+    exist, so the widened scan is free in the common case) through a tiny
+    grouped-kernel cumsum — never a window, never a global sort, and no
+    job whose task count scales with num_partitions beyond the cached scan.
     """
     import pandas as pd
     from pyspark.sql.types import StructField, StructType
@@ -373,12 +377,20 @@ def select_token_budget(
         return out
     # the crossing partition p*: first pid whose cumulative total exceeds
     # the budget (it has rows — crossing needs t > 0). If p*'s FIRST row
-    # already overshoots, the true cut row is the last row of the nearest
-    # earlier non-empty partition q, so the cut job covers {q, p*}.
+    # already overshoots, the true cut row is the last row at-or-before the
+    # boundary: that may be a ZERO-token row living in a zero-total range
+    # partition between the nearest non-empty predecessor q and p* (such a
+    # row's cumulative sum still fits, so the true prefix includes it) —
+    # the cut job therefore covers q, every gap partition, and p*. Gap
+    # partitions are zero-total by construction (empty unless the input
+    # contains zero-token docs), so the extra scan touches no data in the
+    # common case.
     p_star = next(p for p in sorted(totals) if offsets[p] + totals[p] > budget_tokens)
     q = max((p for p in totals if p < p_star), default=None)
-    scan_pids = [p_star] if q is None else [q, p_star]
-    off = {p_star: offsets[p_star]}
+    gap_lo = 0 if q is None else q + 1
+    scan_pids = ([] if q is None else [q]) + list(range(gap_lo, p_star + 1))
+    off = {p: offsets[p_star] for p in range(gap_lo, p_star)}
+    off[p_star] = offsets[p_star]
     if q is not None:
         off[q] = offsets[q]
 

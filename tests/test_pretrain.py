@@ -222,6 +222,44 @@ def test_select_token_budget(spark):
     release_cache(got)
 
 
+def test_select_token_budget_zero_token_boundary(spark):
+    """ADVICE r6 boundary case: ZERO-token docs whose priorities fall
+    between the last fitting positive doc and an overshooting one must
+    survive (their cumulative sum still fits) even when they occupy
+    zero-total range partitions between q and p* — the r6 cut (q's last
+    row) silently dropped them; the r7 cut scans the gap partitions."""
+    from importpipeline_spark.operators.dedup import release_cache
+    from importpipeline_spark.operators.pretrain import select_token_budget
+
+    rows = (
+        [(i, 1000 - i, 100) for i in range(10)]          # 10 × 100 tokens
+        + [(100 + i, 900 - i, 0) for i in range(190)]    # zero-token run
+        + [(500, 10, 10_000)]                            # overshoots
+    )
+    df = spark.createDataFrame(rows, "doc_id long, prio long, n_tokens long")
+
+    ordered = sorted(rows, key=lambda r: (-r[1], r[0]))
+
+    def prefix(budget):
+        out, acc = set(), 0
+        for d, _p, n in ordered:
+            if acc + n > budget:
+                break
+            acc += n
+            out.add(d)
+        return out
+
+    # budget 1000: every zero-token doc fits exactly at the boundary; the
+    # overshooting doc defines p* whose first row can never survive
+    for parts in (8, 32, 64):
+        for budget in (1000, 950, 450):
+            got = select_token_budget(df, budget, "n_tokens", "prio",
+                                      num_partitions=parts)
+            ids = {r.doc_id for r in got.collect()}
+            assert ids == prefix(budget), (parts, budget)
+            release_cache(got)
+
+
 def test_pipeline_boilerplate_stage(spark, tmp_path):
     """run_pipeline's boilerplate stage: a footer present in 60% of pages
     is mined at the 30% df-fraction threshold and stripped from every
