@@ -437,15 +437,33 @@ def _lookup_idf(spark, pidx, terms: List[str]):
 
 
 def _pruned_reads(spark, pidx, terms: List[str], shards: List[int]):
-    """postings filtered to terms + both scans pruned to candidate shards."""
+    """postings filtered to terms + both scans pruned to candidate shards.
+
+    Both sides are explicitly repartitioned by shard to
+    min(candidate shards, cluster parallelism) — there are only
+    len(shards) cogroup groups, so more reduce partitions than that is
+    pure task-launch overhead, and at the other end the width never
+    exceeds what the cluster can run at once. The repartition IS the
+    cogroup's exchange (its required distribution is satisfied, no second
+    shuffle), and sizing it explicitly keeps the per-query latency floor
+    at the scheduling cost of the right number of tasks instead of the
+    session's corpus-sized spark.sql.shuffle.partitions — measured 1.25 →
+    0.85 s/query at 60k/64sh under local[32] (PLANS §2, r7)."""
     if not shards:
         return None, None
+    n_parts = max(1, min(len(shards),
+                         spark.sparkContext.defaultParallelism))
     postings = (
         pidx.postings_live_df(spark)
         .where(F.col("shard").isin(shards))
         .where(F.col("term").isin(terms))
+        .repartition(n_parts, "shard")
     )
-    doclen = pidx.doclen_live_df(spark).where(F.col("shard").isin(shards))
+    doclen = (
+        pidx.doclen_live_df(spark)
+        .where(F.col("shard").isin(shards))
+        .repartition(n_parts, "shard")
+    )
     return postings, doclen
 
 

@@ -304,3 +304,116 @@ def test_image_features_and_resize_png(spark):
     meta = extract_meta(df).collect()[0]
     assert (meta.width, meta.height) == (16, 12)
     assert meta.n_bytes == len(payload)
+
+
+def test_jpeg_gray_decode_bit_exact():
+    """r7 baseline-JPEG codec: the full decode (Huffman + dequant + IDCT)
+    of an encoded grayscale image equals the independently computed
+    DCT→quant→dequant→IDCT reconstruction EXACTLY — the entropy layers are
+    pinned bit-for-bit, not approximately."""
+    import numpy as np
+
+    from importpipeline_spark.operators.jpegcodec import (
+        _M, _QUANT_LUMA, _ZIGZAG, _scale_quant, decode_jpeg, encode_jpeg,
+        jpeg_dims,
+    )
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(24, 17), dtype=np.uint8)
+    enc = encode_jpeg(img, quality=75)
+    dec = decode_jpeg(enc)
+    assert dec.shape == (24, 17, 1)
+    assert jpeg_dims(enc) == (17, 24, 1)
+
+    ql = _scale_quant(_QUANT_LUMA, 75)[_ZIGZAG]
+    h, w = img.shape
+    bh, bw = -(-h // 8), -(-w // 8)
+    pp = np.zeros((bh * 8, bw * 8))
+    p = img.astype(np.float64) - 128.0
+    pp[:h, :w] = p
+    pp[h:, :w] = p[h - 1:h, :]
+    pp[:h, w:] = p[:, w - 1:w]
+    pp[h:, w:] = p[h - 1, w - 1]
+    out = np.zeros_like(pp)
+    for by in range(bh):
+        for bx in range(bw):
+            blk = pp[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
+            f = _M @ blk @ _M.T
+            zz = np.round(f.reshape(64)[_ZIGZAG] / ql)
+            deq = np.zeros(64)
+            deq[_ZIGZAG] = zz * ql
+            out[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = (
+                _M.T @ deq.reshape(8, 8) @ _M
+            )
+    want = np.clip(np.round(out[:h, :w] + 128.0), 0, 255).astype(np.uint8)
+    assert (dec[:, :, 0] == want).all()
+
+
+def test_jpeg_rgb_decode_golden_and_rejections():
+    """RGB 4:4:4 round-trip stays within quantization error of the source,
+    the decoded bytes are deterministic (md5-pinned), and non-baseline
+    modes raise (progressive SOF2 → quarantine upstream)."""
+    import hashlib as _h
+
+    import numpy as np
+    import pytest as _pytest
+
+    from importpipeline_spark.operators.jpegcodec import (
+        decode_jpeg, encode_jpeg, jpeg_dims,
+    )
+
+    img3 = np.zeros((16, 16, 3), dtype=np.uint8)
+    img3[:, :, 0] = np.arange(16)[:, None] * 8
+    img3[:, :, 1] = 100
+    img3[:, :, 2] = np.arange(16)[None, :] * 8
+    enc3 = encode_jpeg(img3, quality=95)
+    dec3 = decode_jpeg(enc3)
+    assert dec3.shape == (16, 16, 3)
+    assert jpeg_dims(enc3) == (16, 16, 3)
+    assert int(np.abs(dec3.astype(int) - img3.astype(int)).max()) <= 12
+    # golden: pins tables, zigzag, bit order, YCbCr math end-to-end
+    assert _h.md5(dec3.tobytes()).hexdigest() == (
+        "bc1da64e45ab8b7aef018e2929528cdc"
+    )
+
+    with _pytest.raises(ValueError, match="baseline"):
+        decode_jpeg(enc3.replace(b"\xff\xc0", b"\xff\xc2", 1))
+    with _pytest.raises(ValueError, match="not a JPEG"):
+        decode_jpeg(b"\x00\x01rubbish")
+
+
+def test_jpeg_through_spark_feature_and_resize_paths(spark):
+    """JPEG payloads flow through the same Arrow-batched operators as
+    PNG/PPM: extract_meta reads dims from the SOF header only,
+    image_features decodes for channel means, resize_images preserves the
+    format (JPEG in → baseline JPEG out)."""
+    import numpy as np
+
+    from importpipeline_spark.operators.jpegcodec import (
+        decode_jpeg, encode_jpeg,
+    )
+    from importpipeline_spark.operators.multimodal import (
+        extract_meta, image_features, resize_images,
+    )
+
+    img = np.zeros((12, 16, 3), dtype=np.uint8)
+    img[:, :, 0] = 200
+    img[:, :, 1] = 64
+    payload = encode_jpeg(img, quality=90)
+    df = spark.createDataFrame(
+        [(1, bytearray(payload), "image/jpeg")],
+        "doc_id long, payload binary, mime string",
+    )
+    meta = extract_meta(df).collect()[0]
+    assert (meta.width, meta.height) == (16, 12)
+
+    feat = image_features(df).collect()[0]
+    assert abs(feat.mean_r - 200) < 4 and abs(feat.mean_g - 64) < 4
+    assert feat.mean_b < 6
+
+    out = resize_images(df, 8, 6).collect()[0]
+    got = bytes(out.payload)
+    assert got[:2] == b"\xff\xd8"  # format-preserving
+    dec = decode_jpeg(got)
+    assert dec.shape == (6, 8, 3)
+    assert abs(int(dec[:, :, 0].mean()) - 200) < 6
