@@ -337,3 +337,46 @@ def test_delete_only_generation_masks_without_postings(spark, tmp_path):
             (r.doc_id, r.score)
             for r in bm25_topk_wand(spark, pidx_full, q, k=10).collect()
         ]
+
+
+def test_forced_sweep_masks_shadowed_docs(spark, tmp_path, monkeypatch):
+    """The interval-sweep branch (normally reserved for >500k-posting
+    candidate sets) must apply owner-generation masking identically to the
+    exhaustive branch: force it on a delta index (update + delete
+    generations) and require bit-identity with a full rebuild, through
+    both the distributed kernel and the local searcher. Overlapping
+    base/delta blocks of the same term also exercise the sweep's interval
+    arithmetic under range overlap."""
+    import importpipeline_spark.index.wand as wand_mod
+
+    root = str(tmp_path / "idx")
+    pages = gen_pages_df(spark, 250, seed=21, partitions=4)
+    write_index(spark, pages, root, n_shards=4)
+    upd = _recrawl(pages, 4, 5)
+    update_index(spark, root, upd, run_id="fs1", input_snapshot="fs1")
+    corpus = pages.join(upd.select("url"), "url", "left_anti").unionByName(upd)
+    del_urls_list = sorted(
+        r.url
+        for r in spark.read.parquet(os.path.join(root, "docs"))
+        .orderBy("doc_id").limit(20).select("url").collect()
+    )
+    del_urls = spark.createDataFrame([(u,) for u in del_urls_list], "url string")
+    pidx = delete_from_index(spark, root, del_urls, run_id="fs2")
+    corpus = corpus.join(del_urls, "url", "left_anti")
+    assert pidx.stats["delta_gens"] == [1, 2]
+
+    full_root = str(tmp_path / "full")
+    pidx_full = write_index(spark, corpus, full_root, n_shards=4)
+
+    monkeypatch.setattr(wand_mod, "_EXHAUSTIVE_CUTOFF", 0)
+    assert _topk(spark, pidx) == _topk(spark, pidx_full)
+    ls = LocalSearcher(root)
+    for q in QUERIES:
+        got = ls.search(q, k=10)
+        want = [
+            (r.doc_id, r.score)
+            for r in bm25_topk_wand(spark, pidx_full, q, k=10).collect()
+        ]
+        assert got == want, q
+        # the sweep must actually have run (blocks candidate accounting on)
+        assert ls.last_stats["blocks_total"] > 0
