@@ -1397,6 +1397,49 @@ def update_index_published(
     return pidx
 
 
+def compact_index_published(
+    spark: SparkSession,
+    store_root: str,
+    shards=None,
+    run_id: str = "compact",
+    keep_generations: int = 2,
+) -> PhysicalIndex:
+    """Snapshot-isolated compaction: fold delta generations inside a NEW
+    COW generation directory and atomically flip CURRENT — readers of the
+    published generation never observe the fold in progress (compact_deltas
+    mutates a root in place, which is only safe under the single-writer /
+    no-concurrent-reader contract). Same crash story as
+    update_index_published: an abandoned generation leaves CURRENT
+    untouched."""
+    from ..sinks.writers import current_generation, publish_generation
+
+    cur = current_generation(store_root)
+    if cur is None:
+        raise FileNotFoundError(f"no published generation under {store_root}")
+    if not _deltas.shard_gen_map(cur):
+        return open_current_index(store_root)  # nothing to fold
+    new_gen = _new_gen_path(store_root)
+    _copy_index_tree(cur, new_gen)
+    try:
+        pidx = compact_deltas(spark, new_gen, shards=shards, run_id=run_id)
+    except BaseException:
+        shutil.rmtree(new_gen, ignore_errors=True)
+        raise
+    publish_generation(store_root, new_gen)
+    if keep_generations > 0:
+        gens = sorted(
+            os.path.join(store_root, d)
+            for d in os.listdir(store_root)
+            if d.startswith("gen=") and os.path.isdir(os.path.join(store_root, d))
+        )
+        protected = {new_gen, cur}
+        others = [g for g in gens if g not in protected]
+        spare = max(0, keep_generations - len(protected))
+        for g in others[: len(others) - spare if spare else None]:
+            shutil.rmtree(g, ignore_errors=True)
+    return pidx
+
+
 def classify_snapshot(
     new_pages: DataFrame, existing_docs: DataFrame
 ) -> DataFrame:

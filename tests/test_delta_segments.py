@@ -380,3 +380,43 @@ def test_forced_sweep_masks_shadowed_docs(spark, tmp_path, monkeypatch):
         assert got == want, q
         # the sweep must actually have run (blocks candidate accounting on)
         assert ls.last_stats["blocks_total"] > 0
+
+
+def test_compact_published_snapshot_isolated(spark, tmp_path):
+    """Compaction on the published lifecycle happens in a NEW generation:
+    a reader holding the pre-compaction CURRENT keeps serving its delta-
+    bearing snapshot unchanged, the new generation is fully folded, and
+    results are identical on both."""
+    from importpipeline_spark.index.segments import (
+        compact_index_published,
+        init_published_index,
+        open_current_index,
+        update_index_published,
+    )
+
+    store = str(tmp_path / "store")
+    pages = gen_pages_df(spark, 200, seed=31, partitions=4)
+    init_published_index(spark, pages, store, n_shards=4)
+    upd = _recrawl(pages, 5, 1)
+    update_index_published(spark, store, upd)
+
+    reader_old = open_current_index(store)
+    assert reader_old.stats["delta_gens"] == [1]
+    before = _topk(spark, reader_old)
+
+    pidx_c = compact_index_published(spark, store)
+    assert pidx_c.stats["delta_gens"] == []
+    reader_new = open_current_index(store)
+    assert reader_new.root != reader_old.root
+    assert reader_new.stats["delta_gens"] == []
+    assert not dmod.shard_gen_map(reader_new.root)
+
+    # the old snapshot still serves, delta dirs intact; results identical
+    assert reader_old.stats["delta_gens"] == [1]
+    assert os.path.isdir(os.path.join(reader_old.root, "delta_postings"))
+    assert _topk(spark, reader_old) == before
+    assert _topk(spark, reader_new) == before
+
+    # no deltas → no-op (same generation stays CURRENT)
+    again = compact_index_published(spark, store)
+    assert again.root == reader_new.root
