@@ -545,7 +545,12 @@ def headline() -> None:
     # steal) runs; if every attempt was loud, the artifact says so
     # (gave_up) instead of shipping an unannotated throttled reading.
     steal_probes: dict = {}
-    steal_thresh = float(os.environ.get("SPARK_GRAFT_STEAL_THRESH", "0.05"))
+    # threshold 8%, not 5%: the width experiment (PLANS §18) shows a 32-wide
+    # build self-triggers ~6-7% steal on this VM even with zero neighbor
+    # load — 5% would mark every possible window gave_up. 8% certifies the
+    # self-throttle floor while still retrying genuine neighbor storms
+    # (the 10-20% readings).
+    steal_thresh = float(os.environ.get("SPARK_GRAFT_STEAL_THRESH", "0.08"))
 
     def _min_quiet(fn, label, runs=2, max_retries=2, n_out=1):
         """min-of-`runs` with steal gating: fn() returns `n_out` seconds
