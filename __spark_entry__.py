@@ -441,6 +441,83 @@ def q_bm25_topk_docs(spark, sf_dir):
     )
 
 
+def q_update_delta_topk(spark, sf_dir):
+    """r7 LSM delta-segment update path driven END-TO-END through the
+    PHYSICAL engine (not a logical-plan restatement): build a compressed
+    index in which every doc_id % 7 == 0 document carries only the first
+    half of its text, delta-UPDATE those docs with their full text
+    (ExistOlder → one delta generation of posting blocks + signed term-df
+    adjustments), delta-DELETE every doc_id % 11 == 0 document (a
+    tombstone-only generation), then answer a block-max WAND top-10 with
+    owner-generation masking. The DuckDB oracle computes BM25 directly
+    over the MERGED corpus (full text, minus the deleted docs) — the
+    driver-gated form of the "delta update ≡ full rebuild" contract
+    (index/deltas.py; crash windows + compaction in
+    tests/test_delta_segments.py). Analyzer v1 tokens ≡ whitespace tokens
+    on this corpus (text is pure [a-z0-9 ]), so scores agree exactly at
+    the shared 4-decimal rounding."""
+    import os
+    import shutil
+    import tempfile
+
+    from importpipeline_spark.index.segments import (
+        delete_from_index,
+        update_index,
+    )
+    from importpipeline_spark.index.store import write_index
+    from importpipeline_spark.index.wand import bm25_topk_wand
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"entry_delta_idx_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    # deterministic root, rebuilt from scratch each call (stale delta
+    # generations from a previous call must never shadow a fresh build)
+    shutil.rmtree(root, ignore_errors=True)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    url = F.concat(F.lit("doc://"), F.col("doc_id").cast("string"))
+    ts0 = F.lit("2020-01-01 00:00:00").cast("timestamp")
+    half = F.substring(
+        F.col("text"), 1, (F.length("text") / 2).cast("int")
+    )
+    # html = raw text bytes → the extractor's plain-text passthrough keeps
+    # the indexed text byte-identical to the constructed column
+    pages_v1 = docs.select(
+        url.alias("url"),
+        ts0.alias("warc_ts"),
+        F.encode(
+            F.when(F.col("doc_id") % 7 == 0, half).otherwise(F.col("text")),
+            "utf-8",
+        ).alias("html"),
+        F.lit("en").alias("lang"),
+    )
+    pages_v2 = docs.where(F.col("doc_id") % 7 == 0).select(
+        url.alias("url"),
+        (ts0 + F.expr("INTERVAL 1 DAY")).alias("warc_ts"),
+        F.encode(F.col("text"), "utf-8").alias("html"),
+        F.lit("en").alias("lang"),
+    )
+    del_urls = docs.where(F.col("doc_id") % 11 == 0).select(url.alias("url"))
+
+    write_index(spark, pages_v1, root, n_shards=8, write_docs=True)
+    update_index(spark, root, pages_v2, run_id="entry_upd",
+                 input_snapshot="entry_upd")
+    pidx = delete_from_index(spark, root, del_urls, run_id="entry_del")
+
+    top = bm25_topk_wand(spark, pidx, " ".join(BM25_QUERY_TERMS), k=BM25_K)
+    idx_docs = spark.read.parquet(os.path.join(root, "docs")).select(
+        "doc_id", "url"
+    )
+    mapped = top.join(idx_docs, "doc_id").select(
+        F.substring("url", 7, 32).cast("long").alias("doc_id"), "score"
+    )
+    ordered = mapped.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return _rank_bounded(
+        ordered, F.col("score").desc(), F.col("doc_id").asc()
+    ).select("rank", "doc_id", F.round("score", 4).alias("score"))
+
+
 def q_htmltotext_roundtrip(spark, sf_dir):
     """HtmlToTextConverter invariant driven through the Arrow UDF: wrap each
     document's text in block/inline/unwanted markup; extraction must return
@@ -859,6 +936,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repeat_regions": q_repeat_regions,
         "sort_multikey": q_sort_multikey,
         "bm25_topk_docs": q_bm25_topk_docs,
+        "update_delta_topk": q_update_delta_topk,
         "htmltotext_roundtrip": q_htmltotext_roundtrip,
         "replace_converter": q_replace_converter,
         "abstract_snippets": q_abstract_snippets,
@@ -1241,6 +1319,44 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id,
                        unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
                 FROM documents
+            ),
+            dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+            stats AS (SELECT COUNT(*) AS n, SUM(dl) AS total FROM dl),
+            tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+            q AS (SELECT unnest({BM25_QUERY_TERMS!r}) AS term),
+            dfreq AS (
+                SELECT term, COUNT(*) AS df FROM tf
+                WHERE term IN (SELECT term FROM q) GROUP BY term
+            ),
+            idf AS (
+                SELECT term, df,
+                       LN(1.0 + (CAST((SELECT n FROM stats) AS DOUBLE) - df + 0.5) / (df + 0.5)) AS idf
+                FROM dfreq
+            ),
+            contrib AS (
+                SELECT tf.doc_id,
+                       idf.idf * CAST(tf.tf AS DOUBLE) * 2.2 /
+                       (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE)
+                        / (CAST((SELECT total FROM stats) AS DOUBLE) / (SELECT n FROM stats)))) AS c
+                FROM tf JOIN idf ON tf.term = idf.term JOIN dl ON tf.doc_id = dl.doc_id
+            ),
+            scored AS (SELECT doc_id, SUM(c) AS score FROM contrib GROUP BY doc_id)
+            SELECT ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
+                   doc_id, ROUND(score, 4) AS score
+            FROM scored ORDER BY score DESC, doc_id ASC LIMIT {BM25_K}
+        """,
+        "update_delta_topk": f"""
+            -- BM25 over the MERGED corpus: full text everywhere (the delta
+            -- update re-indexed the halved docs), minus the delta-deleted
+            -- doc_id mod-11 == 0 docs. The Spark side reaches this state
+            -- through the physical engine's delta generations + masking.
+            WITH corpus AS (
+                SELECT doc_id, text FROM documents WHERE doc_id % 11 <> 0
+            ),
+            toks AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+                FROM corpus
             ),
             dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
             stats AS (SELECT COUNT(*) AS n, SUM(dl) AS total FROM dl),

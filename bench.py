@@ -358,10 +358,12 @@ barrier).
 
 Round-4 path changes folded the per-batch counter job and the dictionary's
 full posting re-read into the encode pass itself (sidecar counters + cached
-tf aggregation); the crash-safe overhead vs the straight-through build
-measures 0.87-1.15x across windows (bench probe resumable_vs_full) —
-noise-dominated at this input size, i.e. within window noise of 1.0
-(observed points and the noise envelope: PLANS section 13/18).
+tf aggregation); the crash-safe overhead vs the straight-through build is
+ADDITIVE — ~0-3 s at this input size (lineage renames + batch barriers),
+so the resumable_vs_full RATIO reads 0.87-1.39 across quiet windows
+depending on how fast the window lets the base build run; the overhead is
+O(n_shards) file ops and amortizes to noise on minutes-long builds
+(observed points and the model: PLANS section 13/18).
 Absolute per-level times move with neighbor load window-to-window — the
 single-threaded level most of all — which is why the protocol interleaves
 repeats, takes per-level minima, and reads efficiency against the
