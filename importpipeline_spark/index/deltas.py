@@ -199,12 +199,19 @@ def stage_update_delta(
     ``old_replaced``: the live docs-table rows being shadowed (for the
     termdf decrements); None/empty when every incoming url is new.
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     from ..text.tokenizer import tokenize_udf
 
     discard_staging(root)
+    # tf must be MATERIALIZED before the concurrent writes fan out: all
+    # three derive from it (or from the caller-persisted changed docs), and
+    # racing the first materialization from three threads would run the
+    # tokenize/count pass redundantly
     tf = build_tf(changed_docs_tok).withColumn(
         "shard", shard_of(F.col("doc_id"), n_shards)
     ).persist()
+    tf.count()
     # BOTH dl-side key columns renamed: tf and dl share the cached
     # changed-docs parent, whose lineage contains the classification join —
     # Spark's ambiguous-self-join check rejects the cogroup otherwise (same
@@ -212,37 +219,59 @@ def stage_update_delta(
     dl = changed_docs_tok.select(
         F.col("doc_id").alias("dl_doc_id"), "doc_len"
     ).withColumn("dl_shard", shard_of(F.col("dl_doc_id"), n_shards))
-    out = (
-        tf.groupBy("shard")
-        .cogroup(dl.groupBy("dl_shard"))
-        .applyInPandas(lambda l, r: _encode_shard(l, r), POSTINGS_SCHEMA)
-    )
-    # no projection between the cogroup and its sink (Spark 4.1 prunes the
-    # cogroup INPUT columns otherwise); shard partitions out at write
-    out.write.mode("overwrite").partitionBy("shard").parquet(
-        staging_path(root, "delta_postings")
-    )
-    (
-        changed_docs_tok.select("doc_id", "doc_len")
-        .withColumn("shard", shard_of(F.col("doc_id"), n_shards))
-        .repartition(n_shards, "shard")
-        .sortWithinPartitions("doc_id")
-        .write.mode("overwrite").partitionBy("shard")
-        .parquet(staging_path(root, "delta_doclen"))
-    )
-    old_tok = None
-    if old_replaced is not None:
-        old_tok = old_replaced.withColumn(
-            "tokens", tokenize_udf(F.col("text"))
+
+    def _w_postings():
+        out = (
+            tf.groupBy("shard")
+            .cogroup(dl.groupBy("dl_shard"))
+            .applyInPandas(lambda l, r: _encode_shard(l, r), POSTINGS_SCHEMA)
         )
-    td = _signed_termdf(tf, old_tok, n_shards)
-    if td is not None:
+        # no projection between the cogroup and its sink (Spark 4.1 prunes
+        # the cogroup INPUT columns otherwise); shard partitions out at write
+        out.write.mode("overwrite").partitionBy("shard").parquet(
+            staging_path(root, "delta_postings")
+        )
+
+    def _w_doclen():
         (
-            td.repartition(n_shards, "shard")
-            .sortWithinPartitions("term")
+            changed_docs_tok.select("doc_id", "doc_len")
+            .withColumn("shard", shard_of(F.col("doc_id"), n_shards))
+            .repartition(n_shards, "shard")
+            .sortWithinPartitions("doc_id")
             .write.mode("overwrite").partitionBy("shard")
-            .parquet(staging_path(root, "delta_termdf"))
+            .parquet(staging_path(root, "delta_doclen"))
         )
+
+    def _w_termdf():
+        old_tok = None
+        if old_replaced is not None:
+            old_tok = old_replaced.withColumn(
+                "tokens", tokenize_udf(F.col("text"))
+            )
+        td = _signed_termdf(tf, old_tok, n_shards)
+        if td is not None:
+            (
+                td.repartition(n_shards, "shard")
+                .sortWithinPartitions("term")
+                .write.mode("overwrite").partitionBy("shard")
+                .parquet(staging_path(root, "delta_termdf"))
+            )
+
+    # the three staging writes are independent jobs over cached inputs —
+    # submit them concurrently (job submission is thread-safe; same pattern
+    # as write_index's output fan-out) so their fixed scheduling/IO tails
+    # overlap instead of summing — at O(update) data the job floor IS most
+    # of the staging wall
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        futs = [pool.submit(f) for f in (_w_postings, _w_doclen, _w_termdf)]
+        errs = []
+        for f in futs:
+            try:
+                f.result()
+            except Exception as e:  # join all before surfacing
+                errs.append(e)
+        if errs:
+            raise errs[0]
     tf.unpersist()
 
 
