@@ -420,3 +420,84 @@ def test_compact_published_snapshot_isolated(spark, tmp_path):
     # no deltas → no-op (same generation stays CURRENT)
     again = compact_index_published(spark, store)
     assert again.root == reader_new.root
+
+
+def test_random_op_sequence_with_midstream_compaction(spark, tmp_path):
+    """Seeded pseudo-random sequence of updates/deletes/re-adds with
+    compact_after=2, so auto-compaction fires MID-sequence and later delta
+    generations stack on the freshly folded base — every step must stay
+    rank/stats-identical to a full rebuild of the evolving corpus."""
+    import random
+
+    root = str(tmp_path / "idx")
+    pages = gen_pages_df(spark, 160, seed=17, partitions=4)
+    write_index(spark, pages, root, n_shards=4)
+    all_urls = sorted(r.url for r in pages.select("url").collect())
+    live = dict.fromkeys(all_urls, 0)  # url -> bump hours (0 = original)
+    rng = random.Random(99)
+
+    def corpus():
+        gone = [u for u, b in live.items() if b is None]
+        out = pages
+        if gone:
+            out = out.join(
+                spark.createDataFrame([(u,) for u in gone], "url string"),
+                "url", "left_anti",
+            )
+        return out
+
+    bump = 0
+    for step in range(5):
+        op = rng.choice(["update", "delete", "readd"])
+        if op == "update":
+            alive = [u for u, b in live.items() if b is not None]
+            sel = sorted(rng.sample(alive, 25))
+            bump += 1
+            upd = pages.join(
+                spark.createDataFrame([(u,) for u in sel], "url string"), "url"
+            ).withColumn(
+                "warc_ts", F.col("warc_ts") + F.expr(f"INTERVAL {bump} HOURS")
+            )
+            update_index(spark, root, upd, run_id=f"r{step}",
+                         input_snapshot=f"s{step}", compact_after=2)
+            for u in sel:
+                live[u] = bump
+        elif op == "delete":
+            alive = [u for u, b in live.items() if b is not None]
+            sel = sorted(rng.sample(alive, 15))
+            delete_from_index(
+                spark, root,
+                spark.createDataFrame([(u,) for u in sel], "url string"),
+                run_id=f"r{step}", compact_after=2,
+            )
+            for u in sel:
+                live[u] = None
+        else:
+            gone = [u for u, b in live.items() if b is None]
+            if not gone:
+                continue
+            sel = sorted(rng.sample(gone, min(8, len(gone))))
+            bump += 1
+            upd = pages.join(
+                spark.createDataFrame([(u,) for u in sel], "url string"), "url"
+            ).withColumn(
+                "warc_ts", F.col("warc_ts") + F.expr(f"INTERVAL {bump} HOURS")
+            )
+            update_index(spark, root, upd, run_id=f"r{step}",
+                         input_snapshot=f"s{step}", compact_after=2)
+            for u in sel:
+                live[u] = bump
+
+    # compact_after=2 must have fired at least once mid-sequence
+    sgm = dmod.shard_gen_map(root)
+    assert all(len(g) < 3 for g in sgm.values()), sgm
+
+    # NOTE: bumped warc_ts never changes content here (same html), so the
+    # final corpus text equals the original rows minus deletions
+    pidx = open_index(root)
+    full_root = str(tmp_path / "full")
+    pidx_full = write_index(spark, corpus(), full_root, n_shards=4)
+    assert pidx.stats["n_docs"] == pidx_full.stats["n_docs"]
+    assert pidx.stats["avgdl"] == pidx_full.stats["avgdl"]
+    assert _topk(spark, pidx) == _topk(spark, pidx_full)
+    assert _terms(spark, root) == _terms(spark, full_root)
