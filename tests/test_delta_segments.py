@@ -426,7 +426,10 @@ def test_random_op_sequence_with_midstream_compaction(spark, tmp_path):
     """Seeded pseudo-random sequence of updates/deletes/re-adds with
     compact_after=2, so auto-compaction fires MID-sequence and later delta
     generations stack on the freshly folded base — every step must stay
-    rank/stats-identical to a full rebuild of the evolving corpus."""
+    rank/stats-identical to a full rebuild of the evolving corpus. One in
+    three updates uses strategy="rebuild" explicitly, interleaving the
+    re-encode path (which must purge its shards' delta data) with live
+    generations."""
     import random
 
     root = str(tmp_path / "idx")
@@ -458,8 +461,10 @@ def test_random_op_sequence_with_midstream_compaction(spark, tmp_path):
             ).withColumn(
                 "warc_ts", F.col("warc_ts") + F.expr(f"INTERVAL {bump} HOURS")
             )
+            strat = rng.choice(["delta", "delta", "rebuild"])
             update_index(spark, root, upd, run_id=f"r{step}",
-                         input_snapshot=f"s{step}", compact_after=2)
+                         input_snapshot=f"s{step}", strategy=strat,
+                         compact_after=2)
             for u in sel:
                 live[u] = bump
         elif op == "delete":
