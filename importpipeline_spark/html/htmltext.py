@@ -255,29 +255,38 @@ def _fast_parse(html: str) -> _Elem:
         if gt < 0:
             raise _FastUnsupported
         seg = html[lt + 1:gt]
-        if not _TAG_GRAMMAR.fullmatch(seg):
-            # quoted '>' inside attr values breaks the grammar → fallback
-            raise _FastUnsupported
-        selfclose = seg.endswith("/")
-        if selfclose:
-            seg = seg[:-1]
-        m = _NAME_RE.match(seg)
-        name = m.group(0).lower()
-        rest = seg[m.end():]
-        attrs = {}
-        if rest and not rest.isspace():
-            for am in _ATTR_RE.finditer(rest):
-                if not am.group(1):
-                    continue
-                k = am.group(1).lower()
-                v = am.group(3)
-                if v is not None:
-                    if v[:1] in "\"'":
-                        v = v[1:-1]
-                    if "&" in v:
-                        v = _htmlmod.unescape(v)
-                attrs[k] = v
-        flush()
+        if seg.isascii() and seg.isalnum():
+            # attribute-less tag (<p>, <div>, <h1> …) — the common case by
+            # far; seg[0] is alpha (checked above), so this is exactly the
+            # grammar's bare-name production with no attrs and no slash
+            name = seg.lower()
+            attrs = {}
+            selfclose = False
+        else:
+            if not _TAG_GRAMMAR.fullmatch(seg):
+                # quoted '>' inside attr values breaks the grammar → fallback
+                raise _FastUnsupported
+            selfclose = seg.endswith("/")
+            if selfclose:
+                seg = seg[:-1]
+            m = _NAME_RE.match(seg)
+            name = m.group(0).lower()
+            rest = seg[m.end():]
+            attrs = {}
+            if rest and not rest.isspace():
+                for am in _ATTR_RE.finditer(rest):
+                    if not am.group(1):
+                        continue
+                    k = am.group(1).lower()
+                    v = am.group(3)
+                    if v is not None:
+                        if v[:1] in "\"'":
+                            v = v[1:-1]
+                        if "&" in v:
+                            v = _htmlmod.unescape(v)
+                    attrs[k] = v
+        if buf:
+            flush()
         parent = stack[-1]
         node = _Elem(name, attrs, parent)
         parent.children.append(node)
@@ -332,8 +341,13 @@ def _find_first(node: _Elem, tag: str) -> Optional[_Elem]:
 
 
 def _is_ws_only(raw: str) -> bool:
-    """onlyWhiteSpace over the RAW (undecoded) text — HtmlProcessor.cs:370-396."""
-    return all(ch in _WS_ONLY for ch in raw)
+    """onlyWhiteSpace over the RAW (undecoded) text — HtmlProcessor.cs:370-396.
+
+    ``strip`` of exactly the whitespace set is equivalent to ``all(ch in
+    _WS_ONLY ...)`` (it removes every char of the set from both ends, so the
+    remainder is empty iff every char is in the set) and runs at C speed — this
+    predicate fires once per text node in the extraction hot path."""
+    return not raw.strip(" \r\n\t\xa0")
 
 
 def _remove_ws_text_nodes(node: _Elem) -> None:

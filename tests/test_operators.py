@@ -325,6 +325,42 @@ def test_analyzer_astral_mn_parity():
     assert tokenize_scalar(s) == ["ab", "cafe"]
 
 
+def test_normalize_fast_path_parity():
+    """r8: strip_diacritics takes three routes per row (pure-ASCII identity,
+    ≤U+024F translate table, full NFD→drop-Mn→NFC) — a mixed batch must be
+    byte-identical to the scalar reference on every route and route-boundary
+    (bare Mn mark, beyond-Latin composables, Hangul jamo recomposition)."""
+    import pandas as pd
+
+    from importpipeline_spark.text.normalize import (
+        strip_diacritics,
+        strip_diacritics_scalar,
+    )
+    from importpipeline_spark.text.tokenizer import tokenize_scalar, tokenize_series
+
+    cases = [
+        "plain ascii",            # route 0: identity
+        "café straße ǟ ý ø Å",    # route 1: translate table (≤ U+024F)
+        "é combining",      # route 2: standalone Mn (U+0301 > U+024F)
+        "가 jamo",      # route 2: NFC recomposes non-Mn starters
+        "ガ katakana ガ",  # route 2: Mn dakuten recomposition
+        "mixed é 中文",           # route 2: Latin + CJK in one string
+        None,
+        "",
+    ]
+    ser = pd.Series(cases, dtype=object)
+    stripped = strip_diacritics(ser)
+    for c, v in zip(cases, stripped):
+        assert strip_diacritics_scalar(c) == v, c
+    toks = tokenize_series(ser)
+    for c, v in zip(cases, toks):
+        got = None if v is None or isinstance(v, float) else list(v)
+        assert tokenize_scalar(c) == got, c
+    # the jamo pair must actually recompose (the property that makes the
+    # translate table unsafe beyond U+024F — pin that the slow path runs)
+    assert strip_diacritics_scalar("가") == "가"
+
+
 def test_html_url_encode_decode(spark):
     from importpipeline_spark.functions.converters import (
         html_decode_udf,
