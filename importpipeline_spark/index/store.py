@@ -437,20 +437,44 @@ def write_index(
         .repartition(n_shards, "shard")
         .persist()
     )
-    postings = _postings_from_sharded(sharded).persist()
-    # the cogroup kernel emits whole shards, already sorted by (term, block):
-    # write directly — no second exchange, ≤1 file per shard per task, and
-    # term row-group stats stay monotone for scan pruning
-    (
-        postings.write.mode("overwrite")
-        .partitionBy("shard")
-        .parquet(os.path.join(root, "postings"))
-    )
+    postings = _postings_from_sharded(sharded)
 
-    # the remaining outputs are independent small jobs over cached frames:
-    # submit them CONCURRENTLY (Spark job submission is thread-safe) so their
-    # fixed scheduling/IO latencies overlap instead of summing — sequential,
-    # these tails were a serial fraction that capped N→4N scaling
+    # Every output job is submitted CONCURRENTLY from the start (Spark job
+    # submission is thread-safe): they all hang off the ONE corpus exchange,
+    # whose map stage the DAG scheduler runs once and shares across the
+    # concurrent jobs (the others show it as skipped), so the fixed
+    # scheduling/IO latencies of the small outputs hide entirely under the
+    # postings encode instead of summing after it. r8: postings is no longer
+    # persisted — its only consumers besides the write (the dictionary
+    # aggregations) now read the written parquet with column pruning
+    # (term/shard/n only, never the posting blobs), which beats paying
+    # cache population for the full binary blocks in the serial path.
+    def _postings_then_terms():
+        # the cogroup kernel emits whole shards, already sorted by (term,
+        # block): write directly — no second exchange, ≤1 file per shard per
+        # task, and term row-group stats stay monotone for scan pruning
+        (
+            postings.write.mode("overwrite")
+            .partitionBy("shard")
+            .parquet(os.path.join(root, "postings"))
+        )
+        # dictionary chain: ONE skinny aggregation over the written postings
+        # (explicit schema so a 0-doc corpus reads as empty instead of
+        # failing inference), persisted, then the global dictionary derives
+        # from the per-shard sidecars (write_terms_dictionary_from_termdf ≡
+        # write_terms_dictionary, asserted in tests/test_segments.py) —
+        # one postings scan instead of the two independent aggregations the
+        # old shape ran, and the global agg reads the tiny termdf relation
+        pdisk = spark.read.schema(POSTINGS_SCHEMA).parquet(
+            os.path.join(root, "postings")
+        )
+        termdf = termdf_from_postings(pdisk).persist()
+        write_termdf_sidecars(termdf, os.path.join(root, "termdf"), n_shards)
+        write_terms_dictionary_from_termdf(
+            termdf, os.path.join(root, "terms"), dict_files
+        )
+        termdf.unpersist()
+
     def _write_doclen():
         (
             sharded.select("shard", "doc_id", "doc_len")
@@ -458,17 +482,6 @@ def write_index(
             .write.mode("overwrite")
             .partitionBy("shard")
             .parquet(os.path.join(root, "doclen"))
-        )
-
-    def _write_terms():
-        write_terms_dictionary(postings, os.path.join(root, "terms"), dict_files)
-
-    def _write_termdf():
-        # per-shard dictionary state for O(affected-shards) incremental
-        # refresh (segments._refresh_stats_terms)
-        write_termdf_sidecars(
-            termdf_from_postings(postings),
-            os.path.join(root, "termdf"), n_shards,
         )
 
     def _write_docs():
@@ -491,18 +504,16 @@ def write_index(
             F.sum("doc_len").alias("total_tokens"),
         ).first()
 
-    with ThreadPoolExecutor(max_workers=5) as ex:
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        # postings first: FIFO scheduling gives the longest pole priority
+        f_pt = ex.submit(_postings_then_terms)
         f_dl = ex.submit(_write_doclen)
-        f_tm = ex.submit(_write_terms)
-        f_td = ex.submit(_write_termdf)
         f_dc = ex.submit(_write_docs)
         f_st = ex.submit(_stats_row)
         row = f_st.result()
         f_dl.result()
-        f_tm.result()
-        f_td.result()
         f_dc.result()
-    postings.unpersist()
+        f_pt.result()
     n_docs = int(row.n_docs)
     total = int(row.total_tokens or 0)
     stats = {
