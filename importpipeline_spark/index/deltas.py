@@ -262,17 +262,21 @@ def stage_update_delta(
     # as write_index's output fan-out) so their fixed scheduling/IO tails
     # overlap instead of summing — at O(update) data the job floor IS most
     # of the staging wall
-    with ThreadPoolExecutor(max_workers=3) as pool:
-        futs = [pool.submit(f) for f in (_w_postings, _w_doclen, _w_termdf)]
-        errs = []
-        for f in futs:
-            try:
-                f.result()
-            except Exception as e:  # join all before surfacing
-                errs.append(e)
-        if errs:
-            raise errs[0]
-    tf.unpersist()
+    try:
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            futs = [pool.submit(f) for f in (_w_postings, _w_doclen, _w_termdf)]
+            errs = []
+            for f in futs:
+                try:
+                    f.result()
+                except Exception as e:  # join all before surfacing
+                    errs.append(e)
+            if errs:
+                raise errs[0]
+    finally:
+        # also on failure: a staging error must not leak the persisted tf
+        # relation in the session's block manager (ADVICE r7)
+        tf.unpersist()
 
 
 def stage_delete_delta(

@@ -770,20 +770,65 @@ def _refresh_stats_terms(spark, root: str, run_id: str, input_snapshot: str,
     not delta-applied; re-running produces identical values. An index
     without recorded subtotals (pre-r5 stats.json) migrates with one full
     per-shard scan."""
+    from concurrent.futures import ThreadPoolExecutor
+
     with open(os.path.join(root, "stats.json")) as f:
         stats = json.load(f)
     n_shards = int(stats["n_shards"])
+    # delta-generation bookkeeping first (driver-side directory walk — the
+    # dictionary derivation below needs the final gen list): the atomic
+    # stats.json replace below IS the reader-visible commit of ``new_gen``
+    # (its directories were renamed into place by the caller/recovery before
+    # this runs); generations whose data compaction fully folded into the
+    # base drop out. Idempotent — everything derives from the marker +
+    # on-disk state.
+    gens = {int(g) for g in stats.get("delta_gens", [])}
+    if new_gen is not None:
+        gens.add(int(new_gen))
+        stats["last_gen"] = max(int(stats.get("last_gen", 0)), int(new_gen))
+    gens &= _deltas.live_gens_on_disk(root)
+    stats["delta_gens"] = sorted(gens)
+    # a pre-sidecar index migrates with one full backfill from the on-disk
+    # postings BEFORE the fan-out (idempotent under crash/retry: both the
+    # backfill and the sidecar refresh recompute from state)
+    if not os.path.isdir(os.path.join(root, "termdf")):
+        _backfill_termdf(spark, root, n_shards)
+
+    # the three Spark pieces — per-shard doc subtotals, the error-url count,
+    # and the dictionary rebuild from the sidecars — are independent jobs:
+    # submit them concurrently so their fixed job floors overlap (r8; they
+    # ran back-to-back and were most of the per-update fixed cost)
     shard_stats = {
         int(k): (int(v[0]), int(v[1]))
         for k, v in stats.get("shard_stats", {}).items()
     }
-    if affected is None or not shard_stats:
-        shard_stats = _docs_shard_totals(spark, root, n_shards)
-    else:
+    terms_tmp = os.path.join(root, "terms.tmp")
+    shutil.rmtree(terms_tmp, ignore_errors=True)
+
+    def _totals():
+        if affected is None or not shard_stats:
+            return _docs_shard_totals(spark, root, n_shards)
         fresh = _docs_shard_totals(spark, root, n_shards, shards=affected)
+        merged = dict(shard_stats)
         for s in affected:
-            shard_stats.pop(int(s), None)
-        shard_stats.update(fresh)
+            merged.pop(int(s), None)
+        merged.update(fresh)
+        return merged
+
+    def _dict():
+        # dictionary from the per-shard term-df sidecars (kept current for
+        # affected shards by _rebuild_shards) — never a block-metadata scan
+        # of all shards
+        _derive_dictionary_from_sidecars(spark, root, out_path=terms_tmp,
+                                         delta_gens=stats["delta_gens"])
+
+    with ThreadPoolExecutor(max_workers=3) as ex:
+        f_tot = ex.submit(_totals)
+        f_err = ex.submit(_count_error_urls, spark, root)
+        f_dic = ex.submit(_dict)
+        shard_stats = f_tot.result()
+        n_errors = f_err.result()
+        f_dic.result()
     n = sum(v[0] for v in shard_stats.values())
     t = sum(v[1] for v in shard_stats.values())
     stats.update(
@@ -793,30 +838,8 @@ def _refresh_stats_terms(spark, root: str, run_id: str, input_snapshot: str,
         shard_stats={str(k): list(v) for k, v in sorted(shard_stats.items())},
         run_id=run_id,
         input_snapshot=input_snapshot,
-        n_errors=_count_error_urls(spark, root),
+        n_errors=n_errors,
     )
-    # delta-generation bookkeeping: the atomic stats.json replace below IS
-    # the reader-visible commit of ``new_gen`` (its directories were renamed
-    # into place by the caller/recovery before this runs); generations whose
-    # data compaction fully folded into the base drop out. Idempotent —
-    # everything derives from the marker + on-disk state.
-    gens = {int(g) for g in stats.get("delta_gens", [])}
-    if new_gen is not None:
-        gens.add(int(new_gen))
-        stats["last_gen"] = max(int(stats.get("last_gen", 0)), int(new_gen))
-    gens &= _deltas.live_gens_on_disk(root)
-    stats["delta_gens"] = sorted(gens)
-    # dictionary from the per-shard term-df sidecars (kept current for
-    # affected shards by _rebuild_shards) — never a block-metadata scan of
-    # all shards. A pre-sidecar index migrates here with one full backfill
-    # from the post-rebuild on-disk postings (idempotent under crash/retry:
-    # both the backfill and the sidecar refresh recompute from state).
-    if not os.path.isdir(os.path.join(root, "termdf")):
-        _backfill_termdf(spark, root, n_shards)
-    terms_tmp = os.path.join(root, "terms.tmp")
-    shutil.rmtree(terms_tmp, ignore_errors=True)
-    _derive_dictionary_from_sidecars(spark, root, out_path=terms_tmp,
-                                     delta_gens=stats["delta_gens"])
     terms_path = os.path.join(root, "terms")
     shutil.rmtree(terms_path, ignore_errors=True)
     os.rename(terms_tmp, terms_path)
@@ -1065,9 +1088,13 @@ def update_index(
     # the mode): a hash-id derivation over a host_locality index would
     # re-index every changed url under a second id and strand the old
     # postings un-rebuilt
+    # cache=True: the errors write and the changed-docs materialization
+    # share ONE extraction pass over the update (r8 — uncached, the safe
+    # extraction UDF ran twice over every changed page)
     changed_docs, errors = build_docs_safe(
-        changed_pages, stats.get("doc_id_mode", "hash")
+        changed_pages, stats.get("doc_id_mode", "hash"), cache=True
     )
+    extract_cache = getattr(changed_docs, "cached_deps", [])
     if strategy == "rebuild":
         changed_docs = changed_docs.drop("tokens")
     # (delta keeps ``tokens``: the generation's postings/termdf derive from
@@ -1077,7 +1104,10 @@ def update_index(
     # if every changed page failed extraction, changed_docs is empty but the
     # errors still belong in <root>/errors/
     errors.write.mode("append").parquet(os.path.join(root, "errors"))
-    if changed_docs.count() == 0:
+    n_changed = changed_docs.count()
+    for _c in extract_cache:
+        _c.unpersist()
+    if n_changed == 0:
         changed_docs.unpersist()
         # the quarantine may still have grown (every changed page failed):
         # keep the error counter truthful AND attribute it to THIS run
