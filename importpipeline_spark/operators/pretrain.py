@@ -59,6 +59,7 @@ def repetition_signals(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    kinds: tuple = ("w", "l", "g2", "g3"),
 ) -> DataFrame:
     """Per-document repetition metrics → (id, n_words, n_chars,
     dup_word_frac, dup_line_frac, top_2gram_char_frac, top_3gram_char_frac).
@@ -90,6 +91,12 @@ def repetition_signals(
       probability ≈ u²/2⁶⁴ for u distinct units per doc, ~5e-12 even at a
       pathological u = 10⁴ — accepted and documented; the DuckDB oracle
       groups by the unit string and the contract query stays hash-green.
+
+    ``kinds`` (r8) restricts which unit kinds are exploded and counted —
+    a consumer gating only on words + 2-grams (the corpus pipeline's
+    quality stage) skips ~40% of the exploded unit volume. Omitted kinds'
+    output columns are emitted as 0.0 so the schema is stable; the default
+    computes everything (the contract query is unchanged).
     """
     # NULL text (quarantined/unextractable docs) counts as empty — the doc
     # still gets its zero-valued row, matching the oracle's COALESCE
@@ -118,12 +125,16 @@ def repetition_signals(
         # explode_outer: a document with no units at all (empty text) must
         # still emit its zero-valued signals row
         F.explode_outer(
-            F.concat(
-                F.transform(toks, unit("w")),
-                F.transform(lines, unit("l")),
-                F.transform(_grams_all(toks, 2), unit("g2")),
-                F.transform(_grams_all(toks, 3), unit("g3")),
-            )
+            F.concat(*(
+                part
+                for kind, part in (
+                    ("w", F.transform(toks, unit("w"))),
+                    ("l", F.transform(lines, unit("l"))),
+                    ("g2", F.transform(_grams_all(toks, 2), unit("g2"))),
+                    ("g3", F.transform(_grams_all(toks, 3), unit("g3"))),
+                )
+                if kind in kinds
+            ))
         ).alias("u"),
     )
     counts = units.groupBy(

@@ -108,14 +108,25 @@ def run_pipeline(
     docs, errors = build_docs_safe(pages, cache=True)
     extract_cache = docs.cached_deps
     docs = docs.drop("tokens").persist()
-    stats["extracted"] = docs.count()
-    stats["quarantined"] = errors.count()
+    # the two counts are independent jobs over the shared extraction cache —
+    # concurrent submission overlaps their job floors (r8); the docs count
+    # is submitted first so FIFO materializes the shared cache through it
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as _ex:
+        _f_docs = _ex.submit(docs.count)
+        _f_err = _ex.submit(errors.count)
+        stats["extracted"] = _f_docs.result()
+        stats["quarantined"] = _f_err.result()
     for _c in extract_cache:
         _c.unpersist()
     _lap("extract")
 
-    # 2. quality gate: token bounds + repetition signals
-    rep = repetition_signals(docs, "text", "doc_id")
+    # 2. quality gate: token bounds + repetition signals. The gate below
+    # reads only n_words / dup_word_frac / top_2gram_char_frac, so only the
+    # word and 2-gram unit kinds are exploded and counted (r8) — lines and
+    # 3-grams were ~40% of the shuffled unit volume, computed then dropped.
+    rep = repetition_signals(docs, "text", "doc_id", kinds=("w", "g2"))
     good_ids = rep.where(
         (F.col("n_words") >= min_tokens)
         & (F.col("n_words") <= max_tokens)

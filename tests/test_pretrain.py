@@ -66,6 +66,23 @@ def test_repetition_signals_hand_computed(crafted):
     assert (r6.top_2gram_char_frac, r6.top_3gram_char_frac) == (0.0, 0.0)
 
 
+
+def test_repetition_signals_kinds_subset(crafted):
+    """r8: kinds=("w","g2") must reproduce the default's word/2-gram columns
+    exactly (the corpus pipeline's quality gate reads only those) while
+    emitting zeros for the skipped kinds."""
+    full = {r.doc_id: r for r in repetition_signals(crafted).collect()}
+    sub = {r.doc_id: r
+           for r in repetition_signals(crafted, kinds=("w", "g2")).collect()}
+    assert set(sub) == set(full)
+    for d in full:
+        assert sub[d].n_words == full[d].n_words
+        assert sub[d].n_chars == full[d].n_chars
+        assert sub[d].dup_word_frac == full[d].dup_word_frac
+        assert sub[d].top_2gram_char_frac == full[d].top_2gram_char_frac
+        assert sub[d].dup_line_frac == 0.0
+        assert sub[d].top_3gram_char_frac == 0.0
+
 def test_contamination_screen_edges(crafted):
     bench = crafted.where(F.col("doc_id") == 1).select("doc_id", "text")
     got = {r.doc_id: r for r in
