@@ -352,6 +352,8 @@ def build_index_resumable(
     tf_cached = None
     pos = 0
     dict_done = False
+    dict_future = None
+    dict_pool = None
     try:
         # phase B: per-segment postings (segment == doc-range shard); only
         # segments recorded ok FOR THIS INPUT SNAPSHOT count as finished
@@ -394,6 +396,37 @@ def build_index_resumable(
             tf = tf.persist()
             tf_cached = tf
         counters_dir = os.path.join(root, "postings_batch_counters")
+        if todo:
+            # dictionary + term-df sidecars depend only on the tf relation,
+            # not on any posting batch — run the chain CONCURRENTLY with the
+            # batch loop (r8; it used to run after it, two full explode+agg
+            # passes on the critical path). ONE termdf aggregation feeds
+            # both outputs: sidecars first, then the global dictionary from
+            # the skinny persisted termdf (byte-compatible with the
+            # from-tf/from-postings derivations — asserted in
+            # tests/test_segments.py). Crash windows are unchanged: termdf
+            # lands via tmp + atomic rename, and a run that dies with
+            # either output missing re-derives on resume (dict_done stays
+            # False until the chain joins cleanly).
+            from concurrent.futures import ThreadPoolExecutor as _TPE
+
+            def _dict_chain():
+                termdf = termdf_from_tf(tf).persist()
+                try:
+                    td_tmp = os.path.join(root, "termdf.tmp")
+                    shutil.rmtree(td_tmp, ignore_errors=True)
+                    write_termdf_sidecars(termdf, td_tmp, n_shards)
+                    td_path = os.path.join(root, "termdf")
+                    shutil.rmtree(td_path, ignore_errors=True)
+                    os.rename(td_tmp, td_path)
+                    write_terms_dictionary_from_termdf(
+                        termdf, os.path.join(root, "terms"), dict_files
+                    )
+                finally:
+                    termdf.unpersist()
+
+            dict_pool = _TPE(max_workers=1)
+            dict_future = dict_pool.submit(_dict_chain)
         for start in range(0, len(todo), batch_size):
             batch = todo[start:start + batch_size]
             started = datetime.now(timezone.utc).isoformat()
@@ -456,30 +489,26 @@ def build_index_resumable(
             if stats is None:
                 stats = _finalize_phase_a(block=False)
         shutil.rmtree(counters_dir, ignore_errors=True)
-        if todo:
-            # dictionary from the still-live tf relation: one aggregation
-            # job over the cached frame instead of a full re-read of every
-            # posting segment from disk (that re-read was a large share of
-            # the crash-safe path's overhead vs write_index). Correct on
+        if dict_future is not None:
+            # join the overlapped dictionary/termdf chain (derived from the
+            # still-live tf relation — one aggregation over the cache, never
+            # a re-read of every posting segment from disk. Correct on
             # partial resumes too: tf covers the WHOLE docs table, and every
-            # on-disk segment is an encode of this same input snapshot
-            # (_finished_segments filters by snapshot; a snapshot mismatch
-            # raises up front).
-            write_terms_dictionary_from_tf(
-                tf, os.path.join(root, "terms"), dict_files
-            )
-            # per-shard term-df sidecars (the update path's dictionary
-            # state) from the same cached tf, via tmp + atomic rename; a
-            # kill mid-write leaves termdf absent → the nothing-to-do
-            # resume (or the first update's migration) backfills from disk
-            td_tmp = os.path.join(root, "termdf.tmp")
-            shutil.rmtree(td_tmp, ignore_errors=True)
-            write_termdf_sidecars(termdf_from_tf(tf), td_tmp, n_shards)
-            td_path = os.path.join(root, "termdf")
-            shutil.rmtree(td_path, ignore_errors=True)
-            os.rename(td_tmp, td_path)
+            # on-disk segment is an encode of this same input snapshot —
+            # _finished_segments filters by snapshot; a mismatch raises up
+            # front).
+            dict_future.result()
             dict_done = True
     finally:
+        if dict_pool is not None:
+            if not dict_done and dict_future is not None:
+                # exception in flight: join quietly so the crash propagates
+                # unmasked; a half-written dictionary re-derives on resume
+                try:
+                    dict_future.result()
+                except Exception:
+                    pass
+            dict_pool.shutdown()
         # join the concurrent phase-A jobs BEFORE leaving (even on the
         # crash path: a caller that immediately resumes must not race
         # still-running background writes), then release the caches —
