@@ -398,18 +398,35 @@ def q_bm25_topk_docs(spark, sf_dir):
     with whitespace tokenization — the engine's query path expressed as the
     exhaustive DataFrame plan (rank oracle; the compressed WAND path is
     verified against it in tests/)."""
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text").where(
+        F.col("text").isNotNull()
+    )
+    # r8 (guide §2.3 — shuffle fewer bytes): per-doc length is the SIZE of
+    # the token array, computed map-side with no explode and no exchange
+    # (the old explode→groupBy(doc_id) shuffled every token occurrence just
+    # to count them; identical values — size(split(x)) ≡ count of exploded
+    # rows for non-null text, and null-text docs are excluded on both sides
+    # exactly like the oracle's unnest)
+    dl = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("dl"),
+    )
+    totals = dl.agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("total")).first()
+    n_docs, avgdl = int(totals.n), float(totals.total) / float(totals.n)
+    # r8: filter to the query terms BEFORE the tf aggregation — the exchange
+    # then carries only query-term occurrences instead of the whole
+    # vocabulary (the old plan shuffled every (doc, term) pair, twice: once
+    # under the broadcast idf build and once for the scoring join). tf and
+    # df values for the query terms are unchanged by construction.
     toks = docs.select(
         "doc_id", F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("term")
     )
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    totals = dl.agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("total")).first()
-    n_docs, avgdl = int(totals.n), float(totals.total) / float(totals.n)
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    qterms = spark.createDataFrame([(t,) for t in BM25_QUERY_TERMS], "term string")
-    dfreq = tf.join(F.broadcast(qterms), "term").groupBy("term").agg(
-        F.count(F.lit(1)).alias("df")
+    tf = (
+        toks.where(F.col("term").isin(BM25_QUERY_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
     )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     idf = dfreq.withColumn(
         "idf",
         F.log(
@@ -469,11 +486,20 @@ def q_update_delta_topk(spark, sf_dir):
 
     root = os.path.join(
         tempfile.gettempdir(),
-        f"entry_delta_idx_{os.path.basename(sf_dir.rstrip('/'))}",
+        # per-session component (ADVICE r7): concurrent sessions running the
+        # same scale factor must not race on one root (rmtree under a peer's
+        # live index); the applicationId is stable for this session's life
+        f"entry_delta_idx_{os.path.basename(sf_dir.rstrip('/'))}_"
+        f"{spark.sparkContext.applicationId}",
     )
     # deterministic root, rebuilt from scratch each call (stale delta
-    # generations from a previous call must never shadow a fresh build)
+    # generations from a previous call must never shadow a fresh build);
+    # the returned DataFrame reads lazily from it, so cleanup is deferred
+    # to interpreter exit instead of leaking the index in /tmp
     shutil.rmtree(root, ignore_errors=True)
+    import atexit
+
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     url = F.concat(F.lit("doc://"), F.col("doc_id").cast("string"))

@@ -303,6 +303,14 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     if sof is None or sos is None:
         raise ValueError("JPEG missing SOF/SOS")
     w, h, comps = sof
+    if len(sos) != len(comps):
+        # non-interleaved baseline (multiple scans, ns < SOF components):
+        # parsing stops at the first SOS, so later components would silently
+        # decode as all-zero planes — quarantine like progressive (ADVICE r7)
+        raise ValueError(
+            f"non-interleaved baseline JPEG unsupported "
+            f"({len(sos)} scan components, {len(comps)} frame components)"
+        )
     by_id = {c["id"]: c for c in comps}
     order = [by_id[s["id"]] for s in sos]
     for c, s in zip(order, sos):
