@@ -112,6 +112,7 @@ class LocalSearcher:
             self._gens = self._tomb_u = self._tomb_g = None
             self._df = {}
             self._raw_cache = {}
+            self._term_cache = {}
             return
         post = pd.concat(posts, ignore_index=True)
         dl = pd.concat(dls, ignore_index=True)
@@ -153,6 +154,9 @@ class LocalSearcher:
         self._df: Dict[str, int] = dict(zip(terms["term"], terms["df"].astype(int)))
         # cross-query raw block decode cache (doc_u, tf, dl per block row)
         self._raw_cache: Dict[int, tuple] = {}
+        # cross-query term-run cache: concatenated (doc_u, contrib) per term
+        # block run — contributions are constants of this snapshot (r8)
+        self._term_cache: Dict[tuple, tuple] = {}
 
     def idf(self, term: str) -> float:
         df = self._df.get(term, 0)
@@ -219,6 +223,7 @@ class LocalSearcher:
             b=B,
             block_keys=rows,
             raw_cache=self._raw_cache,
+            term_cache=self._term_cache,
             gens=self._gens[rows] if self._gens is not None else None,
             tomb_u=self._tomb_u,
             tomb_g=self._tomb_g,

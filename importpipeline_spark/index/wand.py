@@ -132,7 +132,7 @@ class _ShardIndex:
 
     def _init(self, *, min_u, max_u, ns, tcodes, docs_enc, tfs_enc,
               max_tf, min_dl, dl_u, dl_v, idf_arr, avgdl, k1, b,
-              block_keys=None, raw_cache=None,
+              block_keys=None, raw_cache=None, term_cache=None,
               gens=None, tomb_u=None, tomb_g=None):
         # delta-segment state: per-block generation + the shadowed-doc
         # lookup (docs owned by a generation > 0; see resolve_doclen).
@@ -146,6 +146,12 @@ class _ShardIndex:
         # doclen lookup — the expensive part — happens once per block ever
         self._block_keys = block_keys
         self._raw_cache = raw_cache
+        # optional cross-query TERM-RUN cache (serving path): concatenated
+        # (doc_u, contrib) for a whole term's block run. Contributions are
+        # constants of the index snapshot (idf/stats fixed per searcher), so
+        # caching them is exactly recomputation; ~500 per-block Python calls
+        # per head query collapse to one dict hit per term (r8).
+        self._term_cache = term_cache
         self.dl_u = dl_u
         self.dl_v = dl_v
         self.min_u = min_u
@@ -206,11 +212,47 @@ class _ShardIndex:
         self._decoded[bi] = (du, contrib)
         return self._decoded[bi]
 
+    def decode_run(self, rows: np.ndarray):
+        """Concatenated (doc_u, contrib) for a run of same-term blocks in
+        ascending block order — identical to decoding each block and
+        concatenating (which is what it does on a cache miss). Cached
+        cross-query when a term_cache is attached (the serving path)."""
+        key = None
+        if self._term_cache is not None and self._block_keys is not None \
+                and len(rows):
+            key = (int(self._block_keys[rows[0]]),
+                   int(self._block_keys[rows[-1]]), len(rows))
+            got = self._term_cache.get(key)
+            if got is not None:
+                # the per-query decoded map must still see these blocks for
+                # the pruning-stats accounting (value None: decode() treats
+                # a None entry as absent, so a later direct decode of the
+                # same block still computes real arrays)
+                for bi in rows:
+                    self._decoded.setdefault(int(bi), None)
+                return got
+        ds, cs = [], []
+        for bi in rows:
+            du, contrib = self.decode(int(bi))
+            ds.append(du)
+            cs.append(contrib)
+        out = (
+            np.concatenate(ds) if ds else np.empty(0, dtype=np.uint64),
+            np.concatenate(cs) if cs else np.empty(0, dtype=np.float64),
+        )
+        if key is not None:
+            self._term_cache[key] = out
+        return out
+
 
 def _accumulate(d_parts, c_parts):
     """Shared bit-identical accumulation: parts (already in ascending term
     order per doc) are stable-sorted by doc and summed strictly sequentially
     per doc segment. Returns (seg_docs, seg_scores)."""
+    if len(d_parts) == 1:
+        # single sorted run of unique docs (one term): per-doc sums are the
+        # contributions themselves — skip the argsort + segment loop (r8)
+        return d_parts[0], c_parts[0]
     docs = np.concatenate(d_parts)
     contribs = np.concatenate(c_parts)
     if docs.size == 0:  # every candidate masked by delta-segment shadowing
@@ -235,9 +277,18 @@ def _score_all(si: _ShardIndex, sel: np.ndarray, k: int):
     are gathered in ascending term order, stable-sorted by doc, summed
     sequentially per doc."""
     order = np.argsort(si.tcodes[sel], kind="stable")
+    sel_o = sel[order]
+    tc_o = si.tcodes[sel_o]
+    # one decode_run per TERM (contiguous same-tcode run, block order kept by
+    # the stable sort): term runs are sorted disjoint doc sequences, so the
+    # concatenation per term equals the old per-block append order exactly —
+    # and the serving path's term cache turns ~hundreds of per-block decode
+    # calls per head query into one dict hit per term
+    runs = np.nonzero(np.concatenate(([True], tc_o[1:] != tc_o[:-1])))[0]
+    ends = np.concatenate((runs[1:], [len(sel_o)]))
     d_parts, c_parts = [], []
-    for bi in sel[order]:
-        du, contrib = si.decode(int(bi))
+    for a, b in zip(runs, ends):
+        du, contrib = si.decode_run(sel_o[a:b])
         d_parts.append(du)
         c_parts.append(contrib)
     seg_docs, seg_scores = _accumulate(d_parts, c_parts)
