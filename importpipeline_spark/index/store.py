@@ -300,6 +300,18 @@ class PhysicalIndex:
         """Drop memoized relations (call after in-place mutation of root)."""
         self._rels.clear()
 
+    def _term_lookup_cache(self, spark: SparkSession) -> dict:
+        """Per-(session, handle) dictionary-entry cache: term → (df,
+        shards) or None for OOV (wand._lookup_idf). Lives in _rels so
+        invalidate() clears it with the relations."""
+        key = (spark.sparkContext.applicationId, _session_uuid(spark),
+               "__term_lookup")
+        cache = self._rels.get(key)
+        if cache is None:
+            cache = {}
+            self._rels[key] = cache
+        return cache
+
     def _rel(self, spark: SparkSession, name: str, path: str) -> DataFrame:
         # key: applicationId + the JVM session's own UUID, so sibling
         # sessions from spark.newSession() (same applicationId, different

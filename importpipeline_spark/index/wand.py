@@ -475,16 +475,38 @@ def _lookup_idf(spark, pidx, terms: List[str]):
     so partition pruning needs no extra planning job over the postings.
     Reads go through the handle's memoized relations (store.PhysicalIndex):
     resolving the parquet relation per query re-pays file listing + schema
-    jobs — the measured majority of per-query latency at steady state."""
+    jobs — the measured majority of per-query latency at steady state.
+
+    r8: per-term (df, shards) rows are memoized on the handle (the
+    dictionary-entry cache every serving engine keeps): a term seen before
+    skips the dictionary job entirely, and only the NOVEL terms of a query
+    are scanned. Snapshot-consistent by the same contract as the relation
+    cache — df is a constant of the handle's snapshot, and mutations
+    either return a fresh PhysicalIndex or require ``invalidate()``
+    (which clears this cache too). OOV terms are cached as None so a
+    repeated miss costs nothing."""
     n = pidx.stats["n_docs"]
-    rows = (
-        pidx.terms_df(spark)
-        .where(F.col("term").isin(terms))
-        .collect()
-    )
-    idf_map = {r.term: _lucene_idf(int(r.df), n) for r in rows}
-    shards = sorted({int(s) for r in rows for s in (r.shards or [])})
-    return idf_map, shards
+    cache = pidx._term_lookup_cache(spark)
+    missing = [t for t in terms if t not in cache]
+    if missing:
+        rows = (
+            pidx.terms_df(spark)
+            .where(F.col("term").isin(missing))
+            .collect()
+        )
+        got = {r.term: (int(r.df), [int(s) for s in (r.shards or [])])
+               for r in rows}
+        for t in missing:
+            cache[t] = got.get(t)
+    idf_map = {}
+    shards: set = set()
+    for t in terms:
+        hit = cache.get(t)
+        if hit is None:
+            continue
+        idf_map[t] = _lucene_idf(hit[0], n)
+        shards.update(hit[1])
+    return idf_map, sorted(shards)
 
 
 def _pruned_reads(spark, pidx, terms: List[str], shards: List[int]):
