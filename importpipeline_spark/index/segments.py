@@ -56,7 +56,6 @@ from .store import (
     termdf_from_tf,
     write_termdf_sidecars,
     write_terms_dictionary_from_termdf,
-    write_terms_dictionary_from_tf,
 )
 
 SEGMENTS_SCHEMA = (
