@@ -1164,6 +1164,9 @@ def update_index(
     sharded = docs_is_sharded(docs_path)
     old_aff = _docs_pruned_to_shards(spark, root, old_docs, affected)
 
+    merged_aff = old_aff.join(
+        changed_docs.select("url"), "url", "left_anti"
+    ).unionByName(changed_docs.drop("tokens"))
     if strategy == "delta":
         gen = _deltas.next_gen(stats)
         # live versions being shadowed — their stored text re-tokenizes to
@@ -1172,14 +1175,29 @@ def update_index(
         old_replaced = old_aff.join(
             changed_docs.select("url"), "url", "left_semi"
         )
-        _deltas.stage_update_delta(spark, root, changed_docs, old_replaced,
-                                   n_shards)
+        # the delta staging and the docs COW merge are independent
+        # pre-marker steps over the cached changed docs — overlap them (r8;
+        # both are swept/rolled back identically on a pre-marker crash, so
+        # their relative order never mattered)
+        from concurrent.futures import ThreadPoolExecutor as _TPE
 
-    merged_aff = old_aff.join(
-        changed_docs.select("url"), "url", "left_anti"
-    ).unionByName(changed_docs.drop("tokens"))
-    _write_docs_tmp_cow(spark, docs_path, merged_aff,
-                        affected if sharded else None, n_shards)
+        with _TPE(max_workers=2) as _ex:
+            f_stage = _ex.submit(_deltas.stage_update_delta, spark, root,
+                                 changed_docs, old_replaced, n_shards)
+            f_cow = _ex.submit(_write_docs_tmp_cow, spark, docs_path,
+                               merged_aff, affected if sharded else None,
+                               n_shards)
+            errs = []
+            for f in (f_stage, f_cow):
+                try:
+                    f.result()
+                except Exception as e:
+                    errs.append(e)
+            if errs:
+                raise errs[0]
+    else:
+        _write_docs_tmp_cow(spark, docs_path, merged_aff,
+                            affected if sharded else None, n_shards)
     changed_docs.unpersist()
 
     payload = {"affected": affected, "n_shards": n_shards,
@@ -1257,18 +1275,36 @@ def delete_from_index(
         doomed.unpersist()
         return PhysicalIndex(root=root, stats=stats)
 
-    gen = None
-    if strategy == "delta":
-        gen = _deltas.next_gen(stats)
-        _deltas.stage_delete_delta(spark, root, doomed, n_shards)
-
     # survivors of the affected shards only; everything else hard-links
     # (COW staging — same shape as update_index's merge)
     sharded = docs_is_sharded(docs_path)
     base = _docs_pruned_to_shards(spark, root, old_docs, affected)
     merged_aff = base.join(urls_only, "url", "left_anti")
-    _write_docs_tmp_cow(spark, docs_path, merged_aff,
-                        affected if sharded else None, n_shards)
+    gen = None
+    if strategy == "delta":
+        gen = _deltas.next_gen(stats)
+        # tombstone staging and the survivors COW merge are independent
+        # pre-marker steps — overlap them (r8; same crash semantics as
+        # update_index's overlapped staging)
+        from concurrent.futures import ThreadPoolExecutor as _TPE
+
+        with _TPE(max_workers=2) as _ex:
+            f_stage = _ex.submit(_deltas.stage_delete_delta, spark, root,
+                                 doomed, n_shards)
+            f_cow = _ex.submit(_write_docs_tmp_cow, spark, docs_path,
+                               merged_aff, affected if sharded else None,
+                               n_shards)
+            errs = []
+            for f in (f_stage, f_cow):
+                try:
+                    f.result()
+                except Exception as e:
+                    errs.append(e)
+            if errs:
+                raise errs[0]
+    else:
+        _write_docs_tmp_cow(spark, docs_path, merged_aff,
+                            affected if sharded else None, n_shards)
     doomed.unpersist()
 
     payload = {"affected": affected, "n_shards": n_shards,
