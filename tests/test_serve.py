@@ -40,6 +40,20 @@ def test_local_serving_bit_identical(served, query):
     assert got == expected, f"query={query!r}"
 
 
+
+def test_repeat_query_identical_through_caches(served):
+    """r8: the cross-query raw/term-run caches must make repeated queries
+    byte-identical (results AND pruning-stats accounting) — a cache that
+    drifted would surface here before it surfaced in the bench."""
+    searcher, oracle = served
+    for query in ("the", "the ebakaba8 equababa1", "of and"):
+        first = searcher.search(query, k=10)
+        stats1 = dict(searcher.last_stats)
+        again = searcher.search(query, k=10)
+        stats2 = dict(searcher.last_stats)
+        assert first == again == oracle.topk(analyze_query(query), k=10)
+        assert stats1 == stats2
+
 def test_local_serving_latency(served):
     searcher, _ = served
     searcher.search("the of", k=10)  # warm

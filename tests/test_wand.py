@@ -142,3 +142,13 @@ def test_relation_cache_reused_across_queries(physical, spark):
 
     fresh = open_index(pidx.root)
     assert fresh.postings_df(spark) is not pidx.postings_df(spark)
+
+
+def test_repeat_wand_query_identical_through_dict_memo(spark, physical):
+    """r8: the per-term dictionary memo on the PhysicalIndex handle must
+    leave repeated (and overlapping) queries rank- and score-identical."""
+    pidx, oracle = physical
+    for q in ("the", "the ebakaba8 equababa1", "the"):
+        got = [(r.doc_id, r.score)
+               for r in bm25_topk_wand(spark, pidx, q, k=10).collect()]
+        assert got == oracle.topk(analyze_query(q), k=10), q
